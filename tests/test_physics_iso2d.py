@@ -1,0 +1,108 @@
+"""iso2d property tests (model: reference physics_test.cpp:99+)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mara3_tpu.physics import iso2d, on_axis
+
+NHAT_X = on_axis(0)
+NHAT_Y = on_axis(1)
+
+
+def sample_primitives():
+    return jnp.array([
+        [1.0, 0.5, -0.2],
+        [2.0, -1.0, 0.3],
+        [0.5, 0.0, 2.0],
+    ])
+
+
+def sample_positions():
+    return jnp.array([
+        [1.0, 0.5],
+        [-0.4, 2.0],
+        [0.3, -0.7],
+    ])
+
+
+def test_linear_round_trip():
+    P = sample_primitives()
+    U = iso2d.to_conserved_per_area(P)
+    np.testing.assert_allclose(iso2d.recover_primitive(U), P, rtol=1e-14)
+
+
+def test_angmom_round_trip():
+    # reference physics_test.cpp iso2d round-trips through (Q, x)
+    P = sample_primitives()
+    x = sample_positions()
+    Q = iso2d.to_conserved_angmom_per_area(P, x)
+    back = iso2d.recover_primitive_angmom(Q, x)
+    np.testing.assert_allclose(back, P, rtol=1e-12, atol=1e-13)
+
+
+def test_angmom_to_linear_consistency():
+    P = sample_primitives()
+    x = sample_positions()
+    Q = iso2d.to_conserved_angmom_per_area(P, x)
+    U = iso2d.to_conserved_per_area_from_angmom(Q, x)
+    np.testing.assert_allclose(U, iso2d.to_conserved_per_area(P),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_angmom_flux_transform():
+    P = sample_primitives()
+    x = sample_positions()
+    cs2 = jnp.full(P.shape[:-1], 0.1)
+    F = iso2d.flux(P, NHAT_X, cs2)
+    G = iso2d.to_conserved_angmom_flux(F, x)
+    np.testing.assert_allclose(
+        G[..., 1], x[..., 0] * F[..., 1] + x[..., 1] * F[..., 2], rtol=1e-14)
+    np.testing.assert_allclose(
+        G[..., 2], x[..., 0] * F[..., 2] - x[..., 1] * F[..., 1], rtol=1e-14)
+
+
+def test_hlle_consistency():
+    P = sample_primitives()
+    cs2 = jnp.full(P.shape[:-1], 0.25)
+    F = iso2d.riemann_hlle(P, P, cs2, cs2, NHAT_X)
+    np.testing.assert_allclose(F, iso2d.flux(P, NHAT_X, cs2),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_hllc_consistency():
+    P = sample_primitives()
+    cs2 = jnp.full(P.shape[:-1], 0.25)
+    F = iso2d.riemann_hllc(P, P, cs2, cs2, NHAT_X)
+    np.testing.assert_allclose(F, iso2d.flux(P, NHAT_X, cs2),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_hllc_matches_hlle_in_supersonic_limit():
+    # both solvers upwind fully for supersonic flow
+    Pl = jnp.array([1.0, 5.0, 0.1])
+    Pr = jnp.array([1.3, 5.0, -0.1])
+    cs2 = jnp.asarray(0.01)
+    Fc = iso2d.riemann_hllc(Pl, Pr, cs2, cs2, NHAT_X)
+    Fe = iso2d.riemann_hlle(Pl, Pr, cs2, cs2, NHAT_X)
+    np.testing.assert_allclose(Fc, Fe, rtol=1e-10)
+
+
+def test_contains_invalid():
+    U = iso2d.to_conserved_per_area(sample_primitives())
+    assert not bool(iso2d.contains_invalid(U))
+    U_bad = U.at[0, 0].set(-1.0)
+    assert bool(iso2d.contains_invalid(U_bad))
+
+
+def test_source_terms_conserved_angmom():
+    P = jnp.array([2.0, 1.0, 0.0])
+    cs2 = jnp.asarray(0.5)
+    S = iso2d.source_terms_conserved_angmom(P, cs2)
+    # 2*(Ek + pg) = 2*(0.5*2*1 + 2*0.5) = 4
+    np.testing.assert_allclose(S, jnp.array([0.0, 4.0, 0.0]))
+
+
+def test_max_wavespeed():
+    P = jnp.array([1.0, 3.0, -4.0])
+    cs2 = jnp.asarray(1.0)
+    np.testing.assert_allclose(iso2d.max_wavespeed(P, cs2), 5.0)

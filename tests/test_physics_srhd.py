@@ -1,0 +1,71 @@
+"""SRHD tests: Newton primitive recovery round trip, limits, wavespeeds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mara3_tpu.physics import srhd, on_axis
+
+GAMMA = 4.0 / 3.0
+NHAT_X = on_axis(0)
+
+
+def sample_primitives():
+    return jnp.array([
+        [1.0, 0.0, 0.0, 0.0, 1.0],
+        [1.0, 2.0, -0.5, 0.1, 0.1],
+        [10.0, 0.1, 0.0, 0.0, 100.0],
+        [0.01, 10.0, 0.0, 0.0, 0.001],   # highly relativistic
+    ])
+
+
+def test_recover_primitive_round_trip():
+    P = sample_primitives()
+    U = srhd.to_conserved_density(P, GAMMA)
+    back, fault = srhd.recover_primitive(U, GAMMA, return_fault=True)
+    assert not bool(jnp.any(fault))
+    np.testing.assert_allclose(back, P, rtol=1e-8, atol=1e-10)
+
+
+def test_recover_primitive_under_jit():
+    P = sample_primitives()
+    U = srhd.to_conserved_density(P, GAMMA)
+    back = jax.jit(lambda u: srhd.recover_primitive(u, GAMMA))(U)
+    np.testing.assert_allclose(back, P, rtol=1e-8, atol=1e-10)
+
+
+def test_newtonian_limit_wavespeeds():
+    # small velocity, small pressure: speeds approach v ± cs
+    P = jnp.array([1.0, 1e-4, 0.0, 0.0, 1e-6])
+    am, ap = srhd.wavespeeds(P, NHAT_X, GAMMA)
+    cs = float(jnp.sqrt(srhd.sound_speed_squared(P, GAMMA)))
+    v = 1e-4
+    np.testing.assert_allclose(float(ap), v + cs, rtol=1e-3)
+    np.testing.assert_allclose(float(am), v - cs, rtol=1e-3)
+
+
+def test_wavespeeds_subluminal():
+    P = sample_primitives()
+    am, ap = srhd.wavespeeds(P, NHAT_X, GAMMA)
+    assert bool(jnp.all(jnp.abs(am) < 1.0))
+    assert bool(jnp.all(jnp.abs(ap) < 1.0))
+
+
+def test_hlle_consistency():
+    P = sample_primitives()
+    F = srhd.riemann_hlle(P, P, NHAT_X, GAMMA)
+    np.testing.assert_allclose(F, srhd.flux(P, NHAT_X, GAMMA),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_lorentz_factor():
+    P = jnp.array([1.0, 3.0, 4.0, 0.0, 1.0])
+    np.testing.assert_allclose(srhd.lorentz_factor(P),
+                               jnp.sqrt(26.0), rtol=1e-14)
+
+
+def test_conserved_energy_positive():
+    P = sample_primitives()
+    U = srhd.to_conserved_density(P, GAMMA)
+    assert bool(jnp.all(U[..., 0] > 0.0))
+    assert bool(jnp.all(U[..., 4] > 0.0))
