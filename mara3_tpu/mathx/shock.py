@@ -56,15 +56,17 @@ def find_index_of_maximum_pressure_behind(gas_pressure_1d, index):
 
 
 def find_index_of_pressure_plateau_ahead(gas_pressure_1d, index):
-    """Walk right while d(log p)[i-1] < 0.5 * d(log p)[i-2] (reference
-    post_shock_locator.hpp:134-152)."""
-    dlogp = difference_on_axis(jnp.log(gas_pressure_1d), 0)
-    n = dlogp.shape[0]
-    idx = jnp.arange(n + 2)
-    # continuing condition at candidate i: dlogp[i-1] < 0.5 * dlogp[i-2]
-    d1 = jnp.pad(dlogp, (2, 0))[: n + 2]  # d1[i] = dlogp[i-2]
-    d2 = jnp.pad(dlogp, (1, 0))[: n + 2]  # d2[i] = dlogp[i-1] (for i>=1)
-    cont = (d2 < 0.5 * d1) & (idx >= index)
-    # result = first i >= index where cont[i] is False
-    stop = jnp.where(~cont & (idx >= index), idx, n + 2)
-    return jnp.min(stop)
+    """Walk right from `index` while d(log p)[i-1] < 0.5 * d(log p)[i-2]
+    (reference post_shock_locator.hpp:134-152); returns the first cell where
+    the condition fails. Returns 0 if the walk runs off the grid, matching
+    the reference's bounds-check catch."""
+    m = gas_pressure_1d.shape[0]
+    dlogp = difference_on_axis(jnp.log(gas_pressure_1d), 0)  # length m-1
+    i = jnp.arange(m)
+    # d1[i] = dlogp[i-2] (valid i>=2); d2[i] = dlogp[i-1] (valid i>=1)
+    d1 = jnp.concatenate([jnp.zeros(2, dlogp.dtype), dlogp[: m - 2]])
+    d2 = jnp.concatenate([jnp.zeros(1, dlogp.dtype), dlogp])
+    cont = (d2 < 0.5 * d1) & (i >= 2)
+    stop = jnp.where(~cont & (i >= index), i, m)
+    result = jnp.min(stop)
+    return jnp.where(result == m, 0, result)

@@ -1,0 +1,119 @@
+"""End-to-end tests of the 1d subprograms (boilerplate, sedov): conservation,
+convergence, checkpoint/restart round trips — the behavioral checks the
+reference leaves to eyeballing (SURVEY.md §4 'Implication for the rebuild')."""
+
+import os
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from mara3_tpu.app.config import Config
+from mara3_tpu.subprograms import boilerplate, sedov
+
+
+def run_cli(module, argv, cwd):
+    old = os.getcwd()
+    os.chdir(cwd)
+    try:
+        return module.main(argv)
+    finally:
+        os.chdir(old)
+
+
+# -----------------------------------------------------------------------------
+# boilerplate
+# -----------------------------------------------------------------------------
+
+def test_boilerplate_advection_accuracy(tmp_path):
+    assert run_cli(boilerplate, ["boilerplate", "N=128", "tfinal=0.1",
+                                 "cpi=0.1"], tmp_path) == 0
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith("chkpt"))
+    with h5py.File(tmp_path / files[-1]) as f:
+        t = f["solution/time"][()]
+        u = f["solution/solution"][()]
+        xv = f["solution/vertices"][()]
+    xc = 0.5 * (xv[:-1] + xv[1:])
+    err = np.abs(u - np.sin(2 * np.pi * (xc - t))).max()
+    assert err < 0.05
+
+
+def test_boilerplate_restart_continues_numbering(tmp_path):
+    run_cli(boilerplate, ["boilerplate", "N=32", "tfinal=0.06", "cpi=0.02"],
+            tmp_path)
+    before = set(os.listdir(tmp_path))
+    assert "chkpt.0002.h5" in before
+    run_cli(boilerplate, ["boilerplate", "restart=chkpt.0002.h5",
+                          "tfinal=0.1"], tmp_path)
+    after = set(os.listdir(tmp_path))
+    assert "chkpt.0004.h5" in after
+    # the restart file itself must not have been overwritten mid-run
+    with h5py.File(tmp_path / "chkpt.0003.h5") as f:
+        assert f["solution/time"][()] > 0.06
+
+
+# -----------------------------------------------------------------------------
+# sedov
+# -----------------------------------------------------------------------------
+
+def _run_sedov(tmp_path, *args):
+    return run_cli(sedov, ["sedov", "nr=32", "tfinal=0.3", "cpi=0.15",
+                           "tsi=0.1", "dfi=0.3", *args], tmp_path)
+
+
+def test_sedov_euler_conserves_mass_and_energy(tmp_path):
+    assert _run_sedov(tmp_path, "newtonian=1") == 0
+    totals = []
+    for n in (0, 1, 2):
+        with h5py.File(tmp_path / "data" / f"chkpt.000{n}.h5") as f:
+            u = f["solution/conserved"][()]
+            totals.append((u[:, 0].sum(), u[:, 4].sum()))
+    m0, e0 = totals[0]
+    for m, e in totals[1:]:
+        np.testing.assert_allclose(m, m0, rtol=1e-12)
+        np.testing.assert_allclose(e, e0, rtol=1e-12)
+
+
+def test_sedov_srhd_runs_and_shock_moves_out(tmp_path):
+    assert _run_sedov(tmp_path) == 0
+    with h5py.File(tmp_path / "data" / "time_series.h5") as f:
+        r = f["shock_radius"][()]
+        t = f["time"][()]
+    assert len(r) >= 3
+    assert r[-1] > r[0]          # blast expands
+    assert np.all(np.diff(t) > 0)
+
+
+def test_sedov_checkpoint_layout_and_restart(tmp_path):
+    _run_sedov(tmp_path, "newtonian=1")
+    with h5py.File(tmp_path / "data" / "chkpt.0001.h5") as f:
+        assert set(f.keys()) >= {"solution", "schedule", "run_config",
+                                 "config"}
+        assert {"time", "iteration", "vertices", "conserved"} <= \
+            set(f["solution"].keys())
+    run_cli(sedov, ["sedov", "restart=data/chkpt.0002.h5", "tfinal=0.45"],
+            tmp_path)
+    assert (tmp_path / "data" / "chkpt.0003.h5").exists()
+
+
+def test_sedov_diagnostics_fields(tmp_path):
+    _run_sedov(tmp_path)
+    with h5py.File(tmp_path / "data" / "diagnostics.0000.h5") as f:
+        for k in ("mass_density", "gas_pressure", "specific_entropy",
+                  "radial_gamma_beta", "radial_coordinates", "shock_radius",
+                  "shock_velocity"):
+            assert k in f
+        rho = f["mass_density"][()]
+    assert np.all(rho > 0)
+
+
+def test_sedov_advance_n_matches_stepwise(tmp_path):
+    cfg = sedov.config_template().create().update(
+        {"nr": 32, "outer_radius": 10.0, "newtonian": 1})
+    s = sedov.new_solution(cfg)
+    dt = sedov.grid_dt(s.vertices)
+    u_multi = sedov.advance_n(s.conserved, s.vertices, dt, True, 5)
+    u_step = s.conserved
+    for _ in range(5):
+        u_step = sedov.advance_n(u_step, s.vertices, dt, True, 1)
+    np.testing.assert_allclose(u_multi, u_step, rtol=1e-12)
