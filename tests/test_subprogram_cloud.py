@@ -1,0 +1,74 @@
+"""End-to-end tests of the cloud subprogram (2D spherical SRHD + jet)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from mara3_tpu.subprograms import cloud
+
+
+def run_cloud(tmp_path, *args):
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        return cloud.main(["cloud", "nr=32", "tfinal=0.1", "cpi=0.05",
+                           "dfi=0.05", "tsi=0.05", *args])
+    finally:
+        os.chdir(old)
+
+
+def test_cloud_runs_and_outputs(tmp_path):
+    assert run_cloud(tmp_path) == 0
+    data = tmp_path / "data"
+    assert (data / "chkpt.0000.h5").exists()
+    assert (data / "diagnostics.0001.h5").exists()
+    assert (data / "time_series.h5").exists()
+    with h5py.File(data / "diagnostics.0001.h5") as f:
+        rho = f["mass_density"][()]
+        gb = f["radial_gamma_beta"][()]
+        assert np.all(rho > 0)
+        assert not np.isnan(gb).any()
+        # jet drives faster flow on-axis than at the equator
+        assert gb[0, 0] > 1.1 * gb[0, gb.shape[1] // 2]
+        for key in ("shock_midpoint_radius", "postshock_flow_power_max",
+                    "total_energy_at_theta", "solid_angle_at_theta"):
+            assert f[key].shape[0] == 32
+
+
+def test_cloud_axisymmetry_about_equator(tmp_path):
+    """With a symmetric initial state and mirrored jet, the solution must
+    stay mirror-symmetric about the equator."""
+    run_cloud(tmp_path)
+    with h5py.File(tmp_path / "data" / "chkpt.0001.h5") as f:
+        u = f["solution/conserved"][()]
+    # mirror in theta: density and radial momentum even, polar momentum odd
+    np.testing.assert_allclose(u[:, :, 0], u[:, ::-1, 0], rtol=1e-10)
+    np.testing.assert_allclose(u[:, :, 2], -u[:, ::-1, 2], rtol=1e-10,
+                               atol=1e-18)
+
+
+def test_cloud_rk2_pcm_branches(tmp_path):
+    assert run_cloud(tmp_path, "rk_order=2", "reconstruct_method=1") == 0
+    with h5py.File(tmp_path / "data" / "chkpt.0001.h5") as f:
+        u = f["solution/conserved"][()]
+    assert not np.isnan(u).any()
+
+
+def test_cloud_restart(tmp_path):
+    run_cloud(tmp_path)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cloud.main(["cloud", "restart=data/chkpt.0002.h5", "tfinal=0.15"])
+    finally:
+        os.chdir(old)
+    assert (tmp_path / "data" / "chkpt.0003.h5").exists()
+
+
+def test_cloud_solid_angle_sums_to_4pi(tmp_path):
+    run_cloud(tmp_path)
+    with h5py.File(tmp_path / "data" / "diagnostics.0000.h5") as f:
+        omega = f["solid_angle_at_theta"][()]
+    np.testing.assert_allclose(omega.sum(), 4 * np.pi, rtol=1e-10)
