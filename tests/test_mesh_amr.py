@@ -1,0 +1,231 @@
+"""AMR layer tests: prolong/restrict exactness, tree build/balance, and the
+dense-layout guard exchange against the reference semantics (model:
+reference mesh_test.cpp:43-159 plus the multi-level exchange the reference
+only exercises implicitly through get_cell_block)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mara3_tpu.mesh import block_layout, prolong_restrict as pr, tree
+
+
+# -----------------------------------------------------------------------------
+# prolong/restrict (reference mesh_test.cpp:43-111)
+# -----------------------------------------------------------------------------
+
+def test_prolong_verts_exact_on_linear():
+    # midpoint interpolation is exact for linear data
+    x = jnp.linspace(0.0, 1.0, 9)
+    fine = pr.prolong_verts(x, 0)
+    np.testing.assert_allclose(fine, jnp.linspace(0.0, 1.0, 17), atol=1e-15)
+
+
+def test_restrict_verts_inverts_prolong():
+    x = jnp.sin(jnp.linspace(0.0, 3.0, 9))
+    np.testing.assert_array_equal(pr.restrict_verts(pr.prolong_verts(x, 0), 0), x)
+
+
+def test_restrict_cells_inverts_prolong_cells():
+    x = jnp.sin(jnp.linspace(0.0, 3.0, 8))
+    np.testing.assert_allclose(pr.restrict_cells(pr.prolong_cells(x, 0), 0),
+                               x, rtol=1e-15)
+
+
+def test_refine_coarsen_cells_2d_round_trip():
+    a = jnp.arange(16.0).reshape(4, 4)
+    kids = pr.refine_cells_2d(a)
+    assert all(k.shape == (4, 4) for k in kids)
+    back = pr.coarsen_cells_2d(pr.combine_cells_2d(kids))
+    np.testing.assert_allclose(back, a, rtol=1e-15)
+
+
+def test_combine_verts_2d_round_trip():
+    a = jnp.arange(25.0).reshape(5, 5)
+    kids = pr.refine_verts_2d(a)
+    assert all(k.shape == (5, 5) for k in kids)
+    back = pr.coarsen_verts_2d(pr.combine_verts_2d(kids))
+    np.testing.assert_allclose(back, a, rtol=1e-15)
+
+
+def test_restrict_extrinsic_sums():
+    a = jnp.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(pr.restrict_extrinsic(a, 0), [3.0, 7.0])
+
+
+# -----------------------------------------------------------------------------
+# tree build / balance / hilbert
+# -----------------------------------------------------------------------------
+
+def test_uniform_tree():
+    leaves = tree.create_quadtree(lambda lvl, r: True, 2)
+    assert len(leaves) == 16
+    assert all(l == 2 for l, _, _ in leaves)
+
+
+def test_focused_tree_is_balanced():
+    leaves = tree.create_quadtree(lambda lvl, r: r < 1.5 / (lvl + 1), 4)
+    assert not tree.over_refined_neighbors(set(leaves))
+    # levels present should span more than one
+    assert len({l for l, _, _ in leaves}) > 1
+
+
+def test_hilbert_order_is_local():
+    # consecutive blocks along the curve are spatially adjacent at the
+    # uniform level
+    leaves = tree.create_quadtree(lambda lvl, r: True, 3)
+    centers = [(i + 0.5, j + 0.5) for _, i, j in leaves]
+    dists = [abs(a[0] - b[0]) + abs(a[1] - b[1])
+             for a, b in zip(centers, centers[1:])]
+    assert max(dists) == 1.0  # Hilbert curve: unit steps only
+
+
+def test_block_geometry():
+    leaves = [(1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)]
+    v = block_layout.block_vertices(leaves, 4)
+    assert v.shape == (4, 5, 5, 2)
+    np.testing.assert_allclose(v[0, 0, 0], [-1.0, -1.0])
+    np.testing.assert_allclose(v[3, -1, -1], [1.0, 1.0])
+    np.testing.assert_allclose(block_layout.block_dx(leaves, 4), 0.25)
+
+
+# -----------------------------------------------------------------------------
+# guard exchange on the dense layout
+# -----------------------------------------------------------------------------
+
+def field(x, y):
+    return jnp.sin(2.1 * x) + jnp.cos(1.3 * y) + 0.2 * x * y
+
+
+def make_blocks(leaves, bs):
+    xc = jnp.asarray(block_layout.block_cell_centers(leaves, bs))
+    return field(xc[..., 0], xc[..., 1])[..., None]
+
+
+def test_same_level_exchange_exact():
+    leaves = tree.create_quadtree(lambda lvl, r: True, 2)
+    bs = 8
+    nt = block_layout.build_neighbor_table(leaves)
+    U = make_blocks(leaves, bs)
+    for axis in (0, 1):
+        ue = block_layout.extend_blocks(U, nt, axis=axis, g=1)
+        for b, leaf in enumerate(leaves):
+            nb_lo = leaves.index(tree.neighbor(leaf, axis, 0))
+            got = ue[b, 0, :, 0] if axis == 0 else ue[b, :, 0, 0]
+            want = (U[nb_lo, -1, :, 0] if axis == 0 else U[nb_lo, :, -1, 0])
+            np.testing.assert_array_equal(got, want)
+
+
+def test_coarse_fine_exchange_values():
+    """One refined quadrant next to coarse blocks: guards at level jumps
+    must equal the reference's prolong/restrict of the neighbor data."""
+    # root split once; child (1,0,0) split again -> 3 coarse + 4 fine leaves
+    leaves = sorted(
+        {(1, 1, 0), (1, 0, 1), (1, 1, 1)} | set(tree.children((1, 0, 0))),
+        key=tree.hilbert_key)
+    bs = 8
+    nt = block_layout.build_neighbor_table(leaves)
+    U = make_blocks(leaves, bs)
+
+    # coarse block (1,1,0) has fine neighbors on its x-lower face
+    b = leaves.index((1, 1, 0))
+    ue = block_layout.extend_blocks(U, nt, axis=0, g=1)
+    got = ue[b, 0, :, 0]
+    # expected: 2x2 average of the two fine blocks' x-upper edges (width 2)
+    fa = leaves.index((2, 1, 0))   # x-half 1, y-lower of (1,0,0)
+    fb = leaves.index((2, 1, 1))
+    stripe = jnp.concatenate([U[fa, -2:, :, 0], U[fb, -2:, :, 0]], axis=1)
+    want = 0.25 * (stripe[0, 0::2] + stripe[0, 1::2]
+                   + stripe[1, 0::2] + stripe[1, 1::2])
+    np.testing.assert_allclose(got, want, rtol=1e-14)
+
+    # fine block (2,1,0) has the coarse neighbor (1,1,0) on its x-upper face
+    bf = leaves.index((2, 1, 0))
+    got = ue[bf, -1, :, 0]
+    # expected: piecewise-constant prolongation of the coarse neighbor's
+    # x-lower edge, lower-y half (fine block sits at y-lower of the face)
+    coarse_edge = U[b, 0, : bs // 2, 0]
+    want = jnp.repeat(coarse_edge, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-14)
+
+
+def test_guard_width_2():
+    leaves = sorted(
+        {(1, 1, 0), (1, 0, 1), (1, 1, 1)} | set(tree.children((1, 0, 0))),
+        key=tree.hilbert_key)
+    bs = 8
+    nt = block_layout.build_neighbor_table(leaves)
+    U = make_blocks(leaves, bs)
+    ue = block_layout.extend_blocks(U, nt, axis=0, g=2)
+    assert ue.shape == (len(leaves), bs + 4, bs, 1)
+    # same-level: two guard cells equal neighbor's last two rows
+    b = leaves.index((1, 0, 1))
+    nb = leaves.index((1, 1, 1))  # wraparound x-lower neighbor
+    np.testing.assert_array_equal(ue[b, 0:2, :, 0], U[nb, -2:, :, 0])
+
+
+def test_amrsand_uniform_matches_single_grid():
+    """With a uniform quadtree the AMR update must equal a plain periodic
+    upwind update on the assembled global grid."""
+    from mara3_tpu.subprograms import amrsand
+    from mara3_tpu.app.config import ConfigTemplate
+
+    cfg = (amrsand.config_template().create()
+           .update({"depth": 2, "block_size": 8}))
+    leaves = tuple(tree.create_quadtree(lambda lvl, r: True, 2))
+    bs = 8
+    xc = block_layout.block_cell_centers(leaves, bs)
+    u = np.exp(-(xc[..., 0] ** 2 + xc[..., 1] ** 2) / 0.025)[..., None]
+    state = amrsand.Solution(0, 0.0, leaves, jnp.asarray(u))
+    nt = block_layout.build_neighbor_table(leaves)
+    dxb = jnp.asarray(block_layout.block_dx(leaves, bs))
+    s1 = amrsand.next_solution(state, nt, dxb)
+
+    # assemble global grid (4x4 blocks of 8x8 -> 32x32)
+    n_per = 4
+    def assemble(blocks):
+        G = np.zeros((n_per * bs, n_per * bs))
+        for b, (l, i, j) in enumerate(leaves):
+            G[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] = \
+                np.asarray(blocks[b, :, :, 0])
+        return G
+
+    G0 = assemble(np.asarray(state.conserved))
+    dx = 2.0 / (n_per * bs)
+    dt = 2.0 / bs / (1 << tree.tree_depth(leaves))
+    fx = 0.5 * np.roll(G0, 1, axis=0)      # upwind: left cell value
+    fy = 0.5 * np.roll(G0, 1, axis=1)
+    G1 = G0 - dt / dx * ((np.roll(fx, -1, 0) - fx) + (np.roll(fy, -1, 1) - fy))
+    np.testing.assert_allclose(assemble(np.asarray(s1.conserved)), G1,
+                               rtol=1e-13, atol=1e-15)
+
+
+def test_amrsand_blob_advects():
+    from mara3_tpu.subprograms import amrsand
+
+    cfg = (amrsand.config_template().create()
+           .update({"depth": 3, "block_size": 8}))
+    state = amrsand.new_solution(cfg)
+    nt = block_layout.build_neighbor_table(state.leaves)
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves, 8))
+    xc = jnp.asarray(block_layout.block_cell_centers(state.leaves, 8))
+    dA = (dxb ** 2)[:, None, None]
+
+    def center_of_mass(u):
+        w = u[..., 0] * dA
+        return (float((w * xc[..., 0]).sum() / w.sum()),
+                float((w * xc[..., 1]).sum() / w.sum()))
+
+    m0 = float((state.conserved[..., 0] * dA).sum())
+    c0 = center_of_mass(state.conserved)
+    for _ in range(40):
+        state = amrsand.next_solution(state, nt, dxb)
+    m1 = float((state.conserved[..., 0] * dA).sum())
+    c1 = center_of_mass(state.conserved)
+
+    # mass approximately conserved: amrsand has no coarse-fine flux
+    # correction (in the reference either), so O(dx) flux mismatch at level
+    # jumps leaks a few percent while the blob crosses them
+    assert abs(m1 - m0) / m0 < 5e-2
+    np.testing.assert_allclose(c1[0] - c0[0], 0.5 * state.time, rtol=0.1)
+    np.testing.assert_allclose(c1[1] - c0[1], 0.5 * state.time, rtol=0.1)
