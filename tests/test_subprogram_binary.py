@@ -1,0 +1,129 @@
+"""Binary (flagship) tests: conservation across AMR level jumps, symmetry,
+both conservation formulations, fault/safe-mode path, end-to-end runs."""
+
+import os
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mara3_tpu.subprograms import binary as B
+
+
+def small_cfg(**over):
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 8})
+    return cfg.update({k: v for k, v in over.items()})
+
+
+def test_mass_conserved_to_roundoff_across_level_jumps():
+    """With sinks/buffer/viscosity off, the coarse-fine flux correction must
+    conserve total mass exactly (the restrict_extrinsic pattern,
+    subprog_binary_scheme.cpp:614-720)."""
+    cfg = small_cfg(sink_rate=0.0, buffer_damping_rate=0.0, alpha=0.0,
+                    rk_order=1)
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    assert len({l for l, _, _ in sd.leaves}) > 1  # real level jumps
+    dA = jnp.asarray(sd.geometry[1])
+    m0 = float(jnp.sum(sol.conserved[..., 0] * dA))
+    for _ in range(6):
+        sol = B.next_solution(sol, sd)
+    m1 = float(jnp.sum(sol.conserved[..., 0] * dA))
+    np.testing.assert_allclose(m1, m0, rtol=1e-13)
+
+
+def test_equal_mass_symmetry():
+    cfg = small_cfg()
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    for _ in range(4):
+        sol = B.next_solution(sol, sd)
+    a1, a2 = sol.mass_accreted_on
+    t1, t2 = sol.integrated_torque_on
+    assert a1 > 0 and a2 > 0
+    np.testing.assert_allclose(a1, a2, rtol=1e-8)
+    np.testing.assert_allclose(t1, t2, rtol=1e-6)
+
+
+def test_q_formulation_steps():
+    cfg = small_cfg(conserve_linear_p=0)
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    for _ in range(3):
+        sol = B.next_solution(sol, sd)
+    assert not bool(jnp.any(jnp.isnan(sol.conserved)))
+    assert bool(jnp.all(sol.conserved[..., 0] > 0))
+
+
+def test_negative_density_raises_and_safe_mode_retries():
+    cfg = small_cfg(rk_order=1)
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bad = sol.conserved.at[0, 0, 0, 0].set(-1.0)
+    bad_sol = B.Solution(sol.time, sol.iteration, bad,
+                         orbital_elements=sol.orbital_elements)
+    with pytest.raises(B.NegativeDensityError):
+        B.advance(bad_sol, sd, 1e-4)
+
+
+def test_pcm_and_rk1_branch():
+    cfg = small_cfg(reconstruct_method="pcm", rk_order=1, fixed_dt=1)
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    sol = B.next_solution(sol, sd)
+    assert sol.iteration == 1
+    assert not bool(jnp.any(jnp.isnan(sol.conserved)))
+
+
+def test_binary_end_to_end_with_restart(tmp_path):
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert B.main(["binary", "depth=2", "block_size=8", "tfinal=0.02",
+                       "cpi=0.01", "dfi=0.02", "tsi=0.005"]) == 0
+        assert (tmp_path / "data" / "chkpt.0001.h5").exists()
+        with h5py.File(tmp_path / "data" / "chkpt.0001.h5") as f:
+            assert "conserved_u" in f["solution"]
+            ts = f["time_series"][()]
+            assert len(ts) >= 2
+            assert (ts["disk_mass"] > 0).all()
+        B.main(["binary", "restart=data/chkpt.0001.h5", "tfinal=0.03"])
+        files = os.listdir(tmp_path / "data")
+        assert any(f.startswith("chkpt.0002") for f in files)
+    finally:
+        os.chdir(old)
+
+
+def test_diagnostics_layout(tmp_path):
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        B.main(["binary", "depth=2", "block_size=8", "tfinal=0.005",
+                "cpi=1.0", "dfi=0.002", "tsi=1.0"])
+        with h5py.File(tmp_path / "data" / "diagnostics.0001.h5") as f:
+            for key in ("sigma", "radial_velocity", "phi_velocity",
+                        "vertices"):
+                assert key in f
+                # flat tree keys like '2:0-1'
+                assert all(":" in k for k in f[key])
+            assert "position_of_mass1" in f
+    finally:
+        os.chdir(old)
+
+
+def test_live_binary_orbital_evolution():
+    """With begin_live_binary=0, accretion/torque must perturb the orbital
+    elements (subprog_binary_scheme.cpp:882-902 -> live update)."""
+    cfg = small_cfg(begin_live_binary=0.0)
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    a0 = sol.orbital_elements.elements.separation
+    M0 = sol.orbital_elements.elements.total_mass
+    for _ in range(5):
+        sol = B.next_solution(sol, sd)
+    assert sol.orbital_elements.elements.total_mass > M0  # accreted mass
+    assert sol.orbital_elements.elements.separation != a0
+    # perturbations should be small over 5 steps
+    assert abs(sol.orbital_elements.elements.separation - a0) < 1e-3
