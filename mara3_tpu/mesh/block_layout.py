@@ -82,6 +82,13 @@ def _face_neighbors(leaves: List[TreeIndex]):
 
 
 def build_neighbor_table(leaves: Sequence[TreeIndex]) -> NeighborTable:
+    """Neighbor tables via the native C++ graph builder when built
+    (mara3_tpu/native/tree_builder.cpp; cross-checked in test_native.py),
+    else the pure-Python path."""
+    from mara3_tpu import native
+    if native.available():
+        case, same, coarse, half, fine = native.neighbor_table(list(leaves))
+        return NeighborTable(case, same, coarse, half, fine)
     return _face_neighbors(list(leaves))
 
 

@@ -140,6 +140,11 @@ class SolverData:
 def create_leaves(cfg):
     focus_factor = cfg.get_double("focus_factor")
     focus_index = cfg.get_double("focus_index")
+    depth = cfg.get_int("depth")
+
+    from mara3_tpu import native
+    if native.available():
+        return tuple(native.build_quadtree(focus_factor, focus_index, depth))
 
     def predicate(level, radius):
         # reference refinement_radius (subprog_binary.cpp:166-184); at
@@ -148,7 +153,7 @@ def create_leaves(cfg):
                      else float("inf"))
         return radius < threshold
 
-    return tuple(tree.create_quadtree(predicate, cfg.get_int("depth")))
+    return tuple(tree.create_quadtree(predicate, depth))
 
 
 def create_solver_data(cfg) -> SolverData:
