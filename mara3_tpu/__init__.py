@@ -22,4 +22,14 @@ single CLI: ``python -m mara3_tpu <name> key=val ...``.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MARA3_TPU_NO_COMPILE_CACHE", "") != "1":
+    # persistent compilation cache: first compiles on this machine's TPU
+    # tunnel take minutes; cached executables load in seconds
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/mara3_tpu_jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from mara3_tpu.core import ops  # noqa: F401
