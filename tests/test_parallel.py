@@ -128,3 +128,35 @@ def test_psum_reduction_matches():
                                 out_specs=P()))(
         shard_grid_array(a, mesh, "x"))
     assert float(got) == 1.0
+
+
+def test_block_sharded_flagship_advance_matches_unsharded():
+    """The binary AMR advance with its block axis sharded over devices must
+    be numerically identical to the single-device result (GSPMD inserts the
+    cross-shard gathers; Hilbert ordering keeps them mostly local)."""
+    from jax.sharding import Mesh, NamedSharding
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 2, "block_size": 8})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0))
+    dt = sd.recommended_time_step
+
+    u1, totals, _ = sd.advance(sol.conserved, bodies, dt, sd.plm_theta)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+    us = jax.device_put(sol.conserved, NamedSharding(mesh, P("blocks")))
+    u1s, totals_s, _ = jax.jit(sd.advance, static_argnames=("plm_theta",))(
+        us, bodies, dt, plm_theta=sd.plm_theta)
+    np.testing.assert_allclose(np.asarray(u1s), np.asarray(u1),
+                               rtol=1e-12, atol=1e-18)
+    for k in totals:
+        # atol floor: some totals are analytically zero (symmetric run) and
+        # differ only in summation-order round-off across shards
+        np.testing.assert_allclose(np.asarray(totals_s[k]),
+                                   np.asarray(totals[k]), rtol=1e-10,
+                                   atol=1e-15)
