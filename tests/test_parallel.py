@@ -160,3 +160,57 @@ def test_block_sharded_flagship_advance_matches_unsharded():
         np.testing.assert_allclose(np.asarray(totals_s[k]),
                                    np.asarray(totals[k]), rtol=1e-10,
                                    atol=1e-15)
+
+
+def test_collectives_communicator_surface():
+    """The MPI-communicator data-plane equivalents (parallel/collectives.py
+    vs core_mpi.hpp:353-833) inside shard_map on the 8-device mesh."""
+    from mara3_tpu.parallel import collectives as C
+
+    mesh = make_mesh(["r"], shape=(8,))
+    x = jnp.arange(8.0)
+
+    def prog(x_shard):
+        rank_val = x_shard  # shard i holds value i, shape (1,)
+        shifted = C.shift(rank_val, "r", 8, 1)
+        rooted = C.broadcast_from(rank_val, "r", 8, root=3)
+        gathered = C.all_gather(rank_val[0], "r")
+        bar = C.barrier("r")
+        return shifted, rooted, gathered, bar
+
+    sh = shard_grid_array(x, mesh, "r")
+    shifted, rooted, gathered, bar = jax.jit(jax.shard_map(
+        prog, mesh=mesh, in_specs=P("r"),
+        out_specs=(P("r"), P("r"), P(), P()), check_vma=False))(sh)
+    # shift by +1: shard i receives (i-1) mod 8
+    np.testing.assert_allclose(np.asarray(shifted),
+                               [(i - 1) % 8 for i in range(8)])
+    np.testing.assert_allclose(np.asarray(rooted), [3.0] * 8)
+    # every shard gathered the full sequence (replicated output)
+    np.testing.assert_allclose(np.asarray(gathered), np.arange(8.0))
+    np.testing.assert_allclose(np.asarray(bar), 8.0)
+
+
+def test_collectives_scatter_and_all_to_all():
+    from mara3_tpu.parallel import collectives as C
+
+    mesh = make_mesh(["r"], shape=(4,), devices=jax.devices()[:4])
+
+    def prog(chunks):
+        # chunks: each shard holds [1, 4, 2]; scatter from root 0
+        mine = C.scatter_from(chunks[0], "r", 4, root=0)
+        swapped = C.all_to_all(chunks[0], "r", 0, 0)
+        return mine[None], swapped[None]
+
+    data = jnp.arange(4 * 4 * 2.0).reshape(4, 4, 2)
+    sh = shard_grid_array(data, mesh, "r")
+    mine, swapped = jax.jit(jax.shard_map(
+        prog, mesh=mesh, in_specs=P("r"), out_specs=(P("r"), P("r")),
+        check_vma=False))(sh)
+    # scatter from root 0: shard i gets row i of shard 0's chunk block
+    np.testing.assert_allclose(np.asarray(mine).reshape(4, 2),
+                               np.arange(8.0).reshape(4, 2))
+    # all_to_all: shard i row j -> shard j row i (transpose of blocks)
+    got = np.asarray(swapped).reshape(4, 4, 2)
+    want = np.arange(4 * 4 * 2.0).reshape(4, 4, 2).transpose(1, 0, 2)
+    np.testing.assert_allclose(got, want)
