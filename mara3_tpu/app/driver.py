@@ -77,9 +77,17 @@ def print_run_loop_message(iteration: int, time: float,
 
 def run_loop(state, should_continue, step, zones_of, iteration_of, time_of):
     """The reference's main loop shape (subprog_boilerplate.cpp:266-287):
-    while should_continue: state = timed(step)(state); print kzps."""
-    while should_continue(state):
-        state, perf = time_execution(step, state)
-        print_run_loop_message(iteration_of(state), time_of(state),
-                               zones_of(state), perf)
+    while should_continue: state = timed(step)(state); print kzps.
+    With MARA3_PROFILE_DIR set, the whole loop runs under a jax.profiler
+    trace (the tracer-span instrumentation the reference lacks)."""
+    from mara3_tpu.app import profiling
+    import contextlib
+
+    log_dir = profiling.profile_dir()
+    ctx = profiling.trace(log_dir) if log_dir else contextlib.nullcontext()
+    with ctx:
+        while should_continue(state):
+            state, perf = time_execution(step, state)
+            print_run_loop_message(iteration_of(state), time_of(state),
+                                   zones_of(state), perf)
     return state

@@ -320,6 +320,13 @@ def advance(solution: Solution, sd: SolverData, dt: float,
 
     u1, totals, invalid = sd.advance(solution.conserved, bodies, dt, theta)
     if bool(invalid):
+        # report the worst cell like the reference's validate_u printout
+        # (subprog_binary_scheme.cpp:726-744)
+        sig = np.asarray(u1[..., 0])
+        b, i, j = np.unravel_index(np.nanargmin(sig), sig.shape)
+        x, y = np.asarray(sd.geometry[0])[b, i, j]
+        print(f"negative density {sig[b, i, j]:3.2e} "
+              f"(at position [{x:+3.2f} {y:+3.2f}])")
         raise NegativeDensityError("negative density in updated state")
     t = {k: np.asarray(v) for k, v in totals.items()}
 
