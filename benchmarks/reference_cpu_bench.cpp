@@ -64,6 +64,17 @@ int main(int argc, char** argv)
     }
     auto t1 = std::chrono::high_resolution_clock::now();
     double secs = std::chrono::duration<double>(t1 - t0).count();
+
+    if (argc > 3) {
+        // dump the final primitive state as raw doubles [N, N, 3] for the
+        // round-off parity check against the jax scheme (tests/test_parity.py)
+        FILE* f = std::fopen(argv[3], "wb");
+        for (int i = 0; i < N * N; ++i) {
+            double row[3] = {p[i].sigma(), p[i].velocity_x(), p[i].velocity_y()};
+            std::fwrite(row, sizeof(double), 3, f);
+        }
+        std::fclose(f);
+    }
     std::printf("{\"metric\": \"reference_cpu_iso2d_plm_hlle\", \"N\": %d, "
                 "\"steps\": %d, \"zones_per_second\": %.4e}\n",
                 N, STEPS, double(N) * N * STEPS / secs);

@@ -148,13 +148,15 @@ def pallas_step(u_ext, *, cs2: float, dtdx: float, dtdy: float,
 
 def extend_periodic_soa(u):
     """[3, nx, ny] -> [3, nx+8, ny+128] alignment-padded periodic extension:
-    rows/cols 0-1 are the wrap guards, the interior starts at (2, 2), and
-    the trailing pad rows/cols carry the upper guards (+ zeros)."""
+    rows/cols 0-1 are the wrap guards, the interior starts at (2, 2), the
+    next H rows/cols past the interior are the upper wrap guards, and the
+    remaining alignment pad is zeros (never read by the kernel)."""
     _, nx, ny = u.shape
-    rows = jnp.concatenate([
-        u[:, -H:], u, u[:, : PAD_SUB - H]], axis=1)
-    cols = jnp.concatenate([
-        rows[:, :, -H:], rows, rows[:, :, : PAD_LANE - H]], axis=2)
+    zr = jnp.zeros((3, PAD_SUB - 2 * H, ny), u.dtype)
+    rows = jnp.concatenate([u[:, -H:], u, u[:, :H], zr], axis=1)
+    zc = jnp.zeros((3, rows.shape[1], PAD_LANE - 2 * H), u.dtype)
+    cols = jnp.concatenate([rows[:, :, -H:], rows, rows[:, :, :H], zc],
+                           axis=2)
     return cols
 
 

@@ -1,0 +1,59 @@
+"""Pallas fused iso2d kernel vs the jnp scheme (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import mara3_tpu.kernels.iso2d_step as K
+from mara3_tpu.physics import iso2d
+from mara3_tpu.schemes import iso2d_grid
+
+
+def random_state(nx, ny):
+    sigma = 1.0 + 0.2 * jax.random.uniform(jax.random.PRNGKey(1), (nx, ny))
+    vx = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (nx, ny))
+    vy = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (nx, ny))
+    P = jnp.stack([sigma, vx, vy], axis=-1)
+    return iso2d.to_conserved_per_area(P)
+
+
+@pytest.mark.parametrize("tile", [(128, 128), (256, 128)])
+def test_kernel_matches_jnp_scheme(tile):
+    nx, ny = 256, 256
+    u = random_state(nx, ny)
+    cs2, dx, dt, theta = 0.1, 2.0 / nx, 1e-3, 1.8
+    expected = iso2d_grid.step_periodic_uniform(u, cs2, dx, dx, dt, theta)
+
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = K.pallas_step(K.extend_periodic_soa(usoa), cs2=cs2,
+                            dtdx=dt / dx, dtdy=dt / dx, theta=theta,
+                            tile=tile)
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_extend_periodic_soa_layout():
+    u = jnp.arange(3 * 8 * 8.0).reshape(3, 8, 8)
+    e = K.extend_periodic_soa(u)
+    assert e.shape == (3, 8 + K.PAD_SUB, 8 + K.PAD_LANE)
+    # interior begins at (2, 2); guards wrap
+    np.testing.assert_array_equal(e[:, 2:10, 2:10], u)
+    np.testing.assert_array_equal(e[:, 0:2, 2:10], u[:, -2:, :])
+    np.testing.assert_array_equal(e[:, 2:10, 0:2], u[:, :, -2:])
+    np.testing.assert_array_equal(e[:, 10:12, 2:10], u[:, :2, :])
+
+
+def test_multi_step_advance_stays_finite():
+    nx, ny = 128, 128
+    u = jnp.moveaxis(random_state(nx, ny), -1, 0)
+    dx = 2.0 / nx
+    with pltpu.force_tpu_interpret_mode():
+        out = K.advance_n_pallas(u, 3, cs2=0.1, dtdx=0.4, dtdy=0.4,
+                                 theta=1.8, tile=(128, 128))
+    assert not bool(jnp.any(jnp.isnan(out)))
+    # mass conservation (periodic domain)
+    np.testing.assert_allclose(float(out[0].sum()), float(u[0].sum()),
+                               rtol=1e-12)
