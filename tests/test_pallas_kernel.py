@@ -57,3 +57,37 @@ def test_multi_step_advance_stays_finite():
     # mass conservation (periodic domain)
     np.testing.assert_allclose(float(out[0].sum()), float(u[0].sum()),
                                rtol=1e-12)
+
+
+@pytest.mark.parametrize("tile", [(128, 128), (64, 256)])
+def test_kernel_v2_matches_jnp_scheme(tile):
+    import mara3_tpu.kernels.iso2d_step_v2 as K2
+
+    nx, ny = 256, 256
+    u = random_state(nx, ny)
+    cs2, dx, dt, theta = 0.1, 2.0 / nx, 1e-3, 1.8
+    expected = iso2d_grid.step_periodic_uniform(u, cs2, dx, dx, dt, theta)
+
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = K2.pallas_step_v2(usoa, cs2=cs2, dtdx=dt / dx, dtdy=dt / dx,
+                                theta=theta, tile=tile)
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_halo_strips_values():
+    import mara3_tpu.kernels.iso2d_step_v2 as K2
+
+    u = jnp.arange(3 * 16 * 16.0).reshape(3, 16, 16)
+    north, south, west, east = K2.build_halo_strips(u, 8, 8)
+    assert north.shape == (2, 2, 3, 2, 12)
+    # tile (0,0): north rows are the wrap rows 14,15; corner cols wrap
+    np.testing.assert_array_equal(north[0, 0, :, :, 2:10], u[:, 14:16, 0:8])
+    np.testing.assert_array_equal(north[0, 0, :, :, 0:2], u[:, 14:16, 14:16])
+    # tile (1,1): south rows wrap to rows 0,1
+    np.testing.assert_array_equal(south[1, 1, :, :, 2:10], u[:, 0:2, 8:16])
+    # west strip of tile (0,1) = cols 6,7 of rows 0..8
+    np.testing.assert_array_equal(west[0, 1], u[:, 0:8, 6:8])
+    # east strip of tile (1,0) = cols 8,9 of rows 8..16
+    np.testing.assert_array_equal(east[1, 0], u[:, 8:16, 8:10])
