@@ -191,3 +191,51 @@ def extend_blocks(U, nt: NeighborTable, axis: int, g: int = 1):
     lo = guard_strip(U, nt, axis, 0, g)
     hi = guard_strip(U, nt, axis, 1, g)
     return jnp.concatenate([lo, U, hi], axis=1 + axis)
+
+
+# -----------------------------------------------------------------------------
+# host-side single-block fetch (API parity with mara::get_cell_block /
+# get_vertex_block, mesh_tree_operators.hpp:223-292) — used by analysis and
+# plotting code that wants one neighbor block at a caller's resolution; the
+# hot path uses the vectorized guard_strip/extend_blocks instead.
+# -----------------------------------------------------------------------------
+
+def get_cell_block(leaves, blocks, index):
+    """Cell data of the tree node `index` at its own resolution: the leaf
+    itself, a prolonged quadrant of a coarser leaf, or the combined+
+    coarsened four children. `blocks` is the dense [B, bs, bs, ...] array
+    aligned with `leaves`."""
+    from mara3_tpu.mesh import prolong_restrict as pr
+    from mara3_tpu.mesh import tree as treemod
+
+    order = {leaf: b for b, leaf in enumerate(leaves)}
+    if index in order:
+        return blocks[order[index]]
+    parent = treemod.parent(index)
+    if index[0] > 0 and parent in order:
+        kids = pr.refine_cells_2d(blocks[order[parent]])
+        level, i, j = index
+        k = (i & 1) + 2 * (j & 1)
+        return kids[k]
+    children_blocks = [get_cell_block(leaves, blocks, c)
+                       for c in treemod.children(index)]
+    return pr.coarsen_cells_2d(pr.combine_cells_2d(children_blocks))
+
+
+def get_vertex_block(leaves, vertex_blocks, index):
+    """Vertex-flavored analog of get_cell_block."""
+    from mara3_tpu.mesh import prolong_restrict as pr
+    from mara3_tpu.mesh import tree as treemod
+
+    order = {leaf: b for b, leaf in enumerate(leaves)}
+    if index in order:
+        return vertex_blocks[order[index]]
+    parent = treemod.parent(index)
+    if index[0] > 0 and parent in order:
+        kids = pr.refine_verts_2d(vertex_blocks[order[parent]])
+        level, i, j = index
+        k = (i & 1) + 2 * (j & 1)
+        return kids[k]
+    children_blocks = [get_vertex_block(leaves, vertex_blocks, c)
+                       for c in treemod.children(index)]
+    return pr.coarsen_verts_2d(pr.combine_verts_2d(children_blocks))

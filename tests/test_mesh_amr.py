@@ -229,3 +229,32 @@ def test_amrsand_blob_advects():
     assert abs(m1 - m0) / m0 < 5e-2
     np.testing.assert_allclose(c1[0] - c0[0], 0.5 * state.time, rtol=0.1)
     np.testing.assert_allclose(c1[1] - c0[1], 0.5 * state.time, rtol=0.1)
+
+
+def test_get_cell_block_three_cases():
+    """API parity with mara::get_cell_block (mesh_tree_operators.hpp:
+    223-252): same-level leaf, prolonged parent quadrant, coarsened
+    children."""
+    import jax.numpy as jnp
+
+    leaves = sorted(
+        {(1, 1, 0), (1, 0, 1), (1, 1, 1)} | set(tree.children((1, 0, 0))),
+        key=tree.hilbert_key)
+    bs = 4
+    U = make_blocks(leaves, bs)
+
+    # case 1: leaf present
+    got = block_layout.get_cell_block(leaves, U, (1, 1, 0))
+    np.testing.assert_array_equal(got, U[leaves.index((1, 1, 0))])
+
+    # case 2: finer index under a coarse leaf -> prolonged quadrant
+    got = block_layout.get_cell_block(leaves, U, (2, 2, 0))
+    parent_block = U[leaves.index((1, 1, 0))]
+    expected = pr.refine_cells_2d(parent_block)[0]
+    np.testing.assert_array_equal(got, expected)
+
+    # case 3: coarser index over fine leaves -> combined + coarsened
+    got = block_layout.get_cell_block(leaves, U, (1, 0, 0))
+    kids = [U[leaves.index(c)] for c in tree.children((1, 0, 0))]
+    expected = pr.coarsen_cells_2d(pr.combine_cells_2d(kids))
+    np.testing.assert_allclose(got, expected, rtol=1e-14)
