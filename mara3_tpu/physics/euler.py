@@ -195,12 +195,7 @@ def _eigen_vars(P, gamma_law_index):
     return g, m, u, v, w, V2, a2, a, H
 
 
-def _mat(rows):
-    """Stack a 5x5 list-of-lists of broadcastable entries into [..., 5, 5]."""
-    b = jnp.broadcast_arrays(*[e for row in rows for e in row])
-    shape = b[0].shape
-    out = jnp.stack(b, axis=-1).reshape(shape + (5, 5))
-    return out
+from mara3_tpu.core.matrix import from_rows as _mat  # noqa: E402
 
 
 def flux_jacobian(P, gamma_law_index):
