@@ -23,6 +23,20 @@ class PerfDiagnostics:
 
 
 def _block(result):
+    """Synchronize on every jax array inside `result`, descending into
+    dataclasses (the subprogram states are plain frozen dataclasses, which
+    jax.block_until_ready treats as opaque leaves — without this the kzps
+    meter times dispatch, not execution)."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(result) and not isinstance(result, type):
+        for f in dataclasses.fields(result):
+            _block(getattr(result, f.name))
+        return result
+    if isinstance(result, (tuple, list)):
+        for item in result:
+            _block(item)
+        return result
     try:
         return jax.block_until_ready(result)
     except Exception:

@@ -37,7 +37,14 @@ def config_template():
             .item("dfi", 1.0)
             .item("tfinal", 1.0)
             .item("block_size", 16)
-            .item("depth", 4))
+            .item("depth", 4)
+            # adaptive regridding (beyond the reference, whose trees are
+            # static): rebuild the mesh from the solution gradient every
+            # `rgi` time units when `regrid=1`
+            .item("regrid", 0)
+            .item("rgi", 0.1)
+            .item("refine_threshold", 0.3)
+            .item("coarsen_threshold", 0.05))
 
 
 @dataclass(frozen=True)
@@ -111,6 +118,27 @@ def write_diagnostics(state: Solution, schedule, cfg):
     return schedule.mark_as_completed("write_diagnostics")
 
 
+def apply_regrid(state: Solution, cfg):
+    """One adaptive regrid cycle (mesh/regrid.py); returns the new state
+    plus rebuilt neighbor table and spacings."""
+    from mara3_tpu.mesh import regrid as rg
+    bs = state.conserved.shape[1]
+    dxb_np = block_layout.block_dx(state.leaves, bs)
+    new_leaves, new_blocks, changed = rg.regrid(
+        state.leaves, np.asarray(state.conserved), dxb_np,
+        refine_threshold=cfg.get_double("refine_threshold"),
+        coarsen_threshold=cfg.get_double("coarsen_threshold"),
+        max_level=cfg.get_int("depth"))
+    if changed:
+        state = replace(state, leaves=tuple(new_leaves),
+                        conserved=jnp.asarray(new_blocks))
+        print(f"regrid: {len(new_leaves)} blocks, "
+              f"depth {tree.tree_depth(new_leaves)}")
+    nt = block_layout.build_neighbor_table(state.leaves)
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves, bs))
+    return state, nt, dxb
+
+
 @register("amrsand")
 def main(argv) -> int:
     import os
@@ -127,17 +155,24 @@ def main(argv) -> int:
     print(f"quadtree: {state.conserved.shape[0]} blocks of {bs}x{bs}, "
           f"depth {tree.tree_depth(state.leaves)}")
 
+    adaptive = cfg.get_int("regrid") != 0
+    rgi = cfg.get_double("rgi")
+    next_regrid = rgi
+
     schedule = driver.create_schedule(cfg, ["write_diagnostics"])
 
     from mara3_tpu.app.performance import time_execution
-    num_zones = state.conserved.shape[0] * bs * bs
     while state.time < cfg.get_double("tfinal"):
         if schedule.is_due("write_diagnostics"):
             schedule = write_diagnostics(state, schedule, cfg)
+        if adaptive and state.time >= next_regrid:
+            state, nt, dxb = apply_regrid(state, cfg)
+            next_regrid += rgi
         state, perf = time_execution(next_solution, state, nt, dxb)
         schedule = mark_tasks(schedule, state.time,
                               [("write_diagnostics", cfg.get_double("dfi"))])
         if state.iteration % 50 == 0:
+            num_zones = state.conserved.shape[0] * bs * bs
             driver.print_run_loop_message(state.iteration, state.time,
                                           num_zones, perf)
     if schedule.is_due("write_diagnostics"):

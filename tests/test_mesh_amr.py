@@ -258,3 +258,68 @@ def test_get_cell_block_three_cases():
     kids = [U[leaves.index(c)] for c in tree.children((1, 0, 0))]
     expected = pr.coarsen_cells_2d(pr.combine_cells_2d(kids))
     np.testing.assert_allclose(got, expected, rtol=1e-14)
+
+
+def test_adaptive_regrid_tracks_blob_and_conserves():
+    """Adaptive regridding (mesh/regrid.py, beyond the reference's static
+    trees): refined region follows the advected blob; remap conserves total
+    mass exactly (averaging restriction / copy prolongation)."""
+    from mara3_tpu.mesh import regrid as rg
+    from mara3_tpu.subprograms import amrsand
+
+    cfg = (amrsand.config_template().create()
+           .update({"depth": 3, "block_size": 8}))
+    state = amrsand.new_solution(cfg)
+    bs = 8
+
+    def mass(leaves, blocks):
+        dxb = block_layout.block_dx(leaves, bs)
+        return float((np.asarray(blocks)[..., 0]
+                      * (dxb ** 2)[:, None, None]).sum())
+
+    m0 = mass(state.leaves, state.conserved)
+    nt = block_layout.build_neighbor_table(state.leaves)
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves, bs))
+
+    # advect for a while, then regrid
+    for _ in range(30):
+        state = amrsand.next_solution(state, nt, dxb)
+    new_leaves, new_blocks, changed = rg.regrid(
+        state.leaves, np.asarray(state.conserved),
+        block_layout.block_dx(state.leaves, bs),
+        refine_threshold=0.2, coarsen_threshold=0.02, max_level=3)
+    m1 = mass(new_leaves, new_blocks)
+    np.testing.assert_allclose(m1, m0, rtol=2e-2)  # scheme diffuses a bit
+    assert changed
+
+    # the finest blocks should cluster where the blob is (center of mass)
+    xc = block_layout.block_cell_centers(new_leaves, bs)
+    dxb2 = block_layout.block_dx(new_leaves, bs)
+    w = np.asarray(new_blocks)[..., 0] * (dxb2 ** 2)[:, None, None]
+    bx = (w * xc[..., 0]).sum() / w.sum()
+    by = (w * xc[..., 1]).sum() / w.sum()
+    max_level = max(l for l, _, _ in new_leaves)
+    fine_centers = [tree.block_extent(leaf) for leaf in new_leaves
+                    if leaf[0] == max_level]
+    dists = [abs(x0 + wd / 2 - bx) + abs(y0 + wd / 2 - by)
+             for x0, y0, wd in fine_centers]
+    assert min(dists) < 0.5  # some finest block is near the blob
+
+
+def test_regrid_remap_exact_mass():
+    """The remap itself (no evolution) conserves mass to round-off."""
+    from mara3_tpu.mesh import regrid as rg
+
+    leaves = list(tree.create_quadtree(lambda lvl, r: True, 2))
+    bs = 8
+    U = np.asarray(make_blocks(leaves, bs)) + 2.0  # positive field
+    dxb = block_layout.block_dx(leaves, bs)
+    m0 = (U[..., 0] * (dxb ** 2)[:, None, None]).sum()
+
+    indicator = np.zeros(len(leaves))
+    indicator[0] = 1.0   # refine exactly one block
+    new_leaves = rg.propose_leaves(leaves, indicator, 0.5, -1.0, 4)
+    new_U = rg.remap_blocks(leaves, U, new_leaves)
+    dxb2 = block_layout.block_dx(new_leaves, bs)
+    m1 = (new_U[..., 0] * (dxb2 ** 2)[:, None, None]).sum()
+    np.testing.assert_allclose(m1, m0, rtol=1e-13)
