@@ -239,3 +239,86 @@ def get_vertex_block(leaves, vertex_blocks, index):
     children_blocks = [get_vertex_block(leaves, vertex_blocks, c)
                        for c in treemod.children(index)]
     return pr.coarsen_verts_2d(pr.combine_verts_2d(children_blocks))
+
+
+# -----------------------------------------------------------------------------
+# fast guard exchange: one gather + weighted sum
+#
+# extend_blocks above evaluates three candidate strips (same/coarse/fine)
+# and mask-selects — ~20 XLA ops per axis. For launch-bound meshes (the
+# flagship: O(100) blocks of 24-32 cells) this dominates the step. Every
+# guard cell is a linear combination of at most 4 source cells, so the
+# whole exchange collapses to one precomputed gather + einsum.
+# -----------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GuardGather:
+    """indices [B, 4, bs, 4] flat into U.reshape(B*bs*bs, C);
+    weights [B, 4, bs, 4]. Guard width 1 (the workloads' width)."""
+    indices: np.ndarray
+    weights: np.ndarray
+    bs: int
+
+
+def build_guard_gather(nt: NeighborTable, bs: int) -> GuardGather:
+    B = nt.case.shape[0]
+    idx = np.zeros((B, 4, bs, 4), np.int32)
+    wts = np.zeros((B, 4, bs, 4), np.float64)
+
+    def flat(b, i, j):
+        return (b * bs + i) * bs + j
+
+    for b in range(B):
+        for axis in (0, 1):
+            for side in (0, 1):
+                f = 2 * axis + side
+                edge = bs - 1 if side == 0 else 0   # neighbor's facing edge
+                for p in range(bs):                  # position along face
+                    if nt.case[b, f] == 0:
+                        nb = nt.same_id[b, f]
+                        src = ((nb, edge, p) if axis == 0
+                               else (nb, p, edge))
+                        idx[b, f, p, 0] = flat(*src)
+                        wts[b, f, p, 0] = 1.0
+                    elif nt.case[b, f] == 1:
+                        nb = nt.coarse_id[b, f]
+                        q = nt.coarse_half[b, f] * (bs // 2) + p // 2
+                        src = ((nb, edge, q) if axis == 0
+                               else (nb, q, edge))
+                        idx[b, f, p, 0] = flat(*src)
+                        wts[b, f, p, 0] = 1.0
+                    else:
+                        nb = nt.fine_id[b, f, 0 if p < bs // 2 else 1]
+                        q = (2 * p) % bs
+                        e2 = (bs - 2, bs - 1) if side == 0 else (1, 0)
+                        # 2x2 average of the fine neighbor's edge cells
+                        cells = ([(nb, e2[0], q), (nb, e2[0], q + 1),
+                                  (nb, e2[1], q), (nb, e2[1], q + 1)]
+                                 if axis == 0 else
+                                 [(nb, q, e2[0]), (nb, q + 1, e2[0]),
+                                  (nb, q, e2[1]), (nb, q + 1, e2[1])])
+                        for m, src in enumerate(cells):
+                            idx[b, f, p, m] = flat(*src)
+                            wts[b, f, p, m] = 0.25
+    return GuardGather(idx, wts, bs)
+
+
+def extend_blocks_fast(U, gg: GuardGather, axis: int):
+    """extend_blocks with g=1 as one gather + weighted sum. Matches
+    extend_blocks(U, nt, axis, 1) to round-off (the fine-case average is
+    summed in one pass rather than pairwise)."""
+    B, bs = U.shape[0], gg.bs
+    C = U.shape[-1]
+    flat = U.reshape(B * bs * bs, C)
+    f_lo, f_hi = 2 * axis, 2 * axis + 1
+    ii = jnp.asarray(gg.indices[:, (f_lo, f_hi)])        # [B, 2, bs, 4]
+    ww = jnp.asarray(gg.weights[:, (f_lo, f_hi)], U.dtype)
+    vals = flat[ii]                                      # [B, 2, bs, 4, C]
+    guards = jnp.einsum("bfpm,bfpmc->bfpc", ww, vals)    # [B, 2, bs, C]
+    if axis == 0:
+        lo = guards[:, 0][:, None, :, :].reshape(B, 1, bs, C)
+        hi = guards[:, 1][:, None, :, :].reshape(B, 1, bs, C)
+        return jnp.concatenate([lo, U, hi], axis=1)
+    lo = guards[:, 0].reshape(B, bs, 1, C)
+    hi = guards[:, 1].reshape(B, bs, 1, C)
+    return jnp.concatenate([lo, U, hi], axis=2)

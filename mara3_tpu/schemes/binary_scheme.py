@@ -341,6 +341,9 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     # face lengths (uniform square cells: the block spacing)
     face_len_x = jnp.broadcast_to(spacing[:, None, None], xf.shape[:-1])
     face_len_y = jnp.broadcast_to(spacing[:, None, None], yf.shape[:-1])
+    # one-gather guard exchange tables (the masked-select path costs ~20
+    # XLA ops per extend; the flagship advance is launch-bound)
+    gg = block_layout.build_guard_gather(nt, cfg.block_size)
 
     @partial(jax.jit, static_argnames=("plm_theta",))
     def advance(u0, bodies, dt, plm_theta: float):
@@ -349,8 +352,8 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         else:
             p0 = iso2d.recover_primitive_angmom(u0, xc)
 
-        p0_ex = block_layout.extend_blocks(p0, nt, axis=0, g=1)
-        p0_ey = block_layout.extend_blocks(p0, nt, axis=1, g=1)
+        p0_ex = block_layout.extend_blocks_fast(p0, gg, axis=0)
+        p0_ey = block_layout.extend_blocks_fast(p0, gg, axis=1)
 
         if cfg.reconstruct_method == "plm" and plm_theta > 0.0:
             sp = spacing[:, None, None, None]
@@ -362,10 +365,13 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             gx = jnp.zeros_like(p0)
             gy = jnp.zeros_like(p0)
 
-        gx_ex = block_layout.extend_blocks(gx, nt, axis=0, g=1)
-        gy_ex = block_layout.extend_blocks(gy, nt, axis=0, g=1)
-        gx_ey = block_layout.extend_blocks(gx, nt, axis=1, g=1)
-        gy_ey = block_layout.extend_blocks(gy, nt, axis=1, g=1)
+        # both gradient fields extended with one gather per axis
+        G = jnp.concatenate([gx, gy], axis=-1)
+        G_ex = block_layout.extend_blocks_fast(G, gg, axis=0)
+        G_ey = block_layout.extend_blocks_fast(G, gg, axis=1)
+        nc = p0.shape[-1]
+        gx_ex, gy_ex = G_ex[..., :nc], G_ex[..., nc:]
+        gx_ey, gy_ey = G_ey[..., :nc], G_ey[..., nc:]
 
         fx = block_fluxes(0, p0_ex, gx_ex, gy_ex, xf, face_len_x, spacing,
                           bodies, cfg)

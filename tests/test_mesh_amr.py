@@ -323,3 +323,20 @@ def test_regrid_remap_exact_mass():
     dxb2 = block_layout.block_dx(new_leaves, bs)
     m1 = (new_U[..., 0] * (dxb2 ** 2)[:, None, None]).sum()
     np.testing.assert_allclose(m1, m0, rtol=1e-13)
+
+
+def test_extend_blocks_fast_matches_reference_path():
+    """The one-gather guard exchange must match the masked-select path on a
+    multi-level tree (both axes, all three face cases)."""
+    leaves = sorted(
+        {(1, 1, 0), (1, 0, 1), (1, 1, 1)} | set(tree.children((1, 0, 0))),
+        key=tree.hilbert_key)
+    bs = 8
+    nt = block_layout.build_neighbor_table(leaves)
+    gg = block_layout.build_guard_gather(nt, bs)
+    U = make_blocks(leaves, bs)
+    for axis in (0, 1):
+        ref = block_layout.extend_blocks(U, nt, axis=axis, g=1)
+        fast = block_layout.extend_blocks_fast(U, gg, axis=axis)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-14, atol=1e-16)
