@@ -329,11 +329,33 @@ def source_terms(u0, p0, xc, dA, br, initial_conserved, bodies, dt,
 # the advance core
 # -----------------------------------------------------------------------------
 
+def _work_done(totals, bodies):
+    """Accretion work on each body from the accounting totals
+    (subprog_binary_scheme.cpp:394-409)."""
+    ws = []
+    for k in range(2):
+        M0 = bodies[k, 0]
+        px0, py0 = M0 * bodies[k, 3], M0 * bodies[k, 4]
+        dM = totals["mass_accreted_on"][k]
+        dpx = totals["momentum_x_accreted_on"][k]
+        dpy = totals["momentum_y_accreted_on"][k]
+        M1 = M0 + dM
+        px1, py1 = px0 + dpx, py0 + dpy
+        ws.append(0.5 * ((px1 ** 2 + py1 ** 2) / M1
+                         - (px0 ** 2 + py0 ** 2) / M0))
+    return jnp.stack(ws)
+
+
 def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
-                 geometry, initial_conserved, buffer_rate):
+                 geometry, initial_conserved, buffer_rate, fused=None):
     """Build the jit-compiled advance. `geometry` is (xc [B,bs,bs,2],
     dA [B,bs,bs], spacing [B], xf [B,bs+1,bs,2], yf [B,bs,bs+1,2]).
-    Returns advance(u, bodies, dt, plm_theta) -> (u1, totals, invalid)."""
+    Returns advance(u, bodies, dt, plm_theta) -> (u1, totals, invalid).
+
+    With fused=True (default on TPU) the back half of the step — flux
+    divergence, source physics, accounting, fault flag — runs as one
+    Pallas kernel (kernels/binary_update.py); the jnp path remains the
+    reference semantics and the CPU path."""
     xc, dA, spacing, xf, yf = (jnp.asarray(a) for a in geometry)
     initial_conserved = jnp.asarray(initial_conserved)
     buffer_rate = jnp.asarray(buffer_rate)
@@ -344,6 +366,12 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     # one-gather guard exchange tables (the masked-select path costs ~20
     # XLA ops per extend; the flagship advance is launch-bound)
     gg = block_layout.build_guard_gather(nt, cfg.block_size)
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
+                 cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
+                 cfg.density_floor, cfg.gst_suppr_radius ** 2)
 
     @partial(jax.jit, static_argnames=("plm_theta",))
     def advance(u0, bodies, dt, plm_theta: float):
@@ -384,6 +412,14 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
 
         fx = correct_coarse_fine_fluxes(fx, nt, axis=0)
         fy = correct_coarse_fine_fluxes(fy, nt, axis=1)
+
+        if fused:
+            from mara3_tpu.kernels import binary_update
+            u1, totals, invalid = binary_update.fused_update(
+                u0, p0, fx, fy, xc, buffer_rate, initial_conserved, dA,
+                dt, bodies, cfg_tuple)
+            totals["work_done_on"] = _work_done(totals, bodies)
+            return u1, totals, invalid
 
         s, totals = source_terms(u0, p0, xc, dA, buffer_rate,
                                  initial_conserved, bodies, dt, cfg)

@@ -91,3 +91,42 @@ def test_halo_strips_values():
     np.testing.assert_array_equal(west[0, 1], u[:, 0:8, 6:8])
     # east strip of tile (1,0) = cols 8,9 of rows 8..16
     np.testing.assert_array_equal(east[1, 0], u[:, 8:16, 8:10])
+
+
+@pytest.mark.parametrize("conserve_p", [True, False])
+def test_fused_binary_update_matches_jnp(conserve_p):
+    """The fused back-half kernel (kernels/binary_update.py) must reproduce
+    the jnp advance exactly: state, accounting totals, fault flag."""
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.schemes import binary_scheme
+    from mara3_tpu.models import two_body
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 8,
+         "conserve_linear_p": 1 if conserve_p else 0,
+         "density_floor": 1e-6})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0))
+    dt = sd.recommended_time_step
+
+    adv_ref = binary_scheme.make_advance(
+        sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+        sd.buffer_rate, fused=False)
+    u1, totals, inv = adv_ref(sol.conserved, bodies, dt, sd.plm_theta)
+
+    with pltpu.force_tpu_interpret_mode():
+        adv_fused = binary_scheme.make_advance(
+            sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+            sd.buffer_rate, fused=True)
+        u1f, totalsf, invf = adv_fused(sol.conserved, bodies, dt,
+                                       sd.plm_theta)
+
+    np.testing.assert_allclose(np.asarray(u1f), np.asarray(u1),
+                               rtol=1e-12, atol=1e-20)
+    for k in totals:
+        np.testing.assert_allclose(np.asarray(totalsf[k]),
+                                   np.asarray(totals[k]),
+                                   rtol=1e-10, atol=1e-17)
+    assert bool(invf) == bool(inv)
