@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128  # block-axis chunk per program
+def lane_chunk(bs: int) -> int:
+    """Block-axis chunk per program, sized to the ~16MB VMEM budget."""
+    if bs <= 24:
+        return 128
+    if bs <= 40:
+        return 64
+    return 32
 
 
 def _kernel(dt_ref, bodies_ref, u0_ref, p0_ref, fx_ref, fy_ref, xc_ref,
@@ -159,6 +165,7 @@ def fused_update(u0, p0, fx, fy, xc, br, init, dA, dt, bodies, cfg_tuple,
     invalid scalar).
     """
     B, bs = u0.shape[0], u0.shape[1]
+    LANE = lane_chunk(bs)
     Bp = -(-B // LANE) * LANE
 
     t = lambda a: _pad_lanes(jnp.transpose(a, (3, 1, 2, 0)), Bp)
@@ -217,3 +224,167 @@ def fused_update(u0, p0, fx, fy, xc, br, init, dA, dt, bodies, cfg_tuple,
     }
     invalid = jnp.max(invalid_t) > 0
     return u1, totals, invalid
+
+
+# -----------------------------------------------------------------------------
+# fused flux kernel: PLM face states + locally-isothermal HLLE + viscous
+# stress + face-length scaling (+ Q-form angular-momentum transform), one
+# pallas_call per axis (the front half of the advance)
+# -----------------------------------------------------------------------------
+
+def _flux_kernel(bodies_ref, sp_ref, p_ref, gl_ref, gt_ref, xf_ref,
+                 f_ref, *, axis, cfg_flux):
+    (softening, mach, axisym, conserve_p, alpha, alpha_cutoff, nu_const,
+     domain_radius) = cfg_flux
+
+    p_ex = p_ref[...]      # [3, n+2, m, L] (axis 0) / [3, m, n+2, L]
+    g_lon = gl_ref[...]
+    g_tra = gt_ref[...]
+    xf = xf_ref[...]       # [2, faces..., L]
+    sp = sp_ref[0, 0, 0]   # [L] block spacing (= face length)
+
+    def fa(a, sl):
+        index = [slice(None)] * a.ndim
+        index[1 + axis] = sl
+        return a[tuple(index)]
+
+    n2 = p_ex.shape[1 + axis]
+    pl_ = fa(p_ex, slice(0, n2 - 1))
+    pr_ = fa(p_ex, slice(1, n2))
+    gl_ = fa(g_lon, slice(0, n2 - 1))
+    gr_ = fa(g_lon, slice(1, n2))
+    hl_ = fa(g_tra, slice(0, n2 - 1))
+    hr_ = fa(g_tra, slice(1, n2))
+
+    half_sp = 0.5 * sp
+    plh = pl_ + gl_ * half_sp
+    prh = pr_ - gr_ * half_sp
+
+    x, y = xf[0], xf[1]
+    b1m = bodies_ref[0, 0]
+    b1x = bodies_ref[0, 1]
+    b1y = bodies_ref[0, 2]
+    b2m = bodies_ref[1, 0]
+    b2x = bodies_ref[1, 1]
+    b2y = bodies_ref[1, 2]
+    M2 = mach * mach
+    if axisym:
+        cs2 = 1.0 / jnp.sqrt(x * x + y * y) / M2
+    else:
+        p1 = -b1m / jnp.sqrt((x - b1x) ** 2 + (y - b1y) ** 2
+                             + softening ** 2)
+        p2 = -b2m / jnp.sqrt((x - b2x) ** 2 + (y - b2y) ** 2
+                             + softening ** 2)
+        cs2 = -(p1 + p2) / M2
+
+    r = jnp.sqrt(x * x + y * y)
+    if alpha_cutoff > 0.0:
+        profile = 0.5 * (1.0 + jnp.tanh(3.0 * (r - alpha_cutoff)))
+    else:
+        profile = jnp.ones_like(r)
+    if nu_const > 0.0:
+        nu = profile * nu_const
+    else:
+        nu = profile * alpha * jnp.sqrt(cs2) * (r / mach)
+    mu = 0.5 * nu * (plh[0] + prh[0])
+
+    # HLLE with the axis unit normal (normal velocity = component 1+axis)
+    cs = jnp.sqrt(cs2)
+    vnl = plh[1 + axis]
+    vnr = prh[1 + axis]
+    ap = jnp.maximum(0.0, jnp.maximum(vnl + cs, vnr + cs))
+    am = jnp.minimum(0.0, jnp.minimum(vnl - cs, vnr - cs))
+
+    def conserved(ph):
+        return jnp.stack([ph[0], ph[0] * ph[1], ph[0] * ph[2]])
+
+    Ul = conserved(plh)
+    Ur = conserved(prh)
+    Fl = vnl[None] * Ul
+    Fl = jnp.concatenate([
+        Fl[:1],
+        (Fl[1] + (plh[0] * cs2 if axis == 0 else 0.0))[None],
+        (Fl[2] + (plh[0] * cs2 if axis == 1 else 0.0))[None]])
+    Fr = vnr[None] * Ur
+    Fr = jnp.concatenate([
+        Fr[:1],
+        (Fr[1] + (prh[0] * cs2 if axis == 0 else 0.0))[None],
+        (Fr[2] + (prh[0] * cs2 if axis == 1 else 0.0))[None]])
+
+    den = 1.0 / (ap - am)
+    fhat = (Fl * ap[None] - Fr * am[None]
+            - (Ul - Ur) * (ap * am)[None]) * den[None]
+
+    # viscous stress (subprog_binary_scheme.cpp:220-262)
+    if axis == 0:
+        dx_ux = 0.5 * (gl_[1] + gr_[1])
+        dx_uy = 0.5 * (gl_[2] + gr_[2])
+        dy_ux = 0.5 * (hl_[1] + hr_[1])
+        dy_uy = 0.5 * (hl_[2] + hr_[2])
+        taux = mu * (dx_ux - dy_uy)
+        tauy = mu * (dx_uy + dy_ux)
+    else:
+        dx_ux = 0.5 * (hl_[1] + hr_[1])
+        dx_uy = 0.5 * (hl_[2] + hr_[2])
+        dy_ux = 0.5 * (gl_[1] + gr_[1])
+        dy_uy = 0.5 * (gl_[2] + gr_[2])
+        taux = mu * (dx_uy + dy_ux)
+        tauy = -mu * (dx_ux - dy_uy)
+    zf = jnp.zeros_like(taux)
+    fhat = fhat + jnp.stack([zf, -taux, -tauy])
+
+    if not conserve_p:
+        # (sigma, Sr, Lz) fluxes with Lz zeroed at the domain boundary
+        fs = fhat[0]
+        fsr = x * fhat[1] + y * fhat[2]
+        flz = x * fhat[2] - y * fhat[1]
+        coord = x if axis == 0 else y
+        at_boundary = jnp.abs(jnp.abs(coord) - domain_radius) \
+            <= 1e-8 * domain_radius
+        flz = jnp.where(at_boundary, 0.0, flz)
+        fhat = jnp.stack([fs, fsr, flz])
+
+    f_ref[...] = fhat * sp
+
+
+def fused_fluxes(p_ex, g_lon_ex, g_tra_ex, xf, spacing, bodies, axis,
+                 cfg_flux, interpret=False):
+    """Front half of the advance for one axis. p_ex/g_*_ex are the guard-
+    extended [B, ., ., 3] arrays; xf the face centers [B, faces.., 2];
+    spacing [B]. Returns fhat * face_length in block-major layout."""
+    B, bs = p_ex.shape[0], min(p_ex.shape[1], p_ex.shape[2])
+    LANE = lane_chunk(bs)
+    Bp = -(-B // LANE) * LANE
+
+    t = lambda a: _pad_lanes(jnp.transpose(a, (3, 1, 2, 0)), Bp)
+    spt = _pad_lanes(spacing.reshape(1, 1, 1, B).astype(p_ex.dtype), Bp)
+    bodies_arr = jnp.asarray(bodies, p_ex.dtype)
+
+    pt = t(p_ex)
+    glt = t(g_lon_ex)
+    gtt = t(g_tra_ex)
+    xft = t(xf)
+    fshape = (3,) + xft.shape[1:3]
+
+    grid = (Bp // LANE,)
+
+    def bspec(shape3):
+        return pl.BlockSpec(shape3 + (LANE,), lambda j: (0, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_flux_kernel, axis=axis, cfg_flux=cfg_flux)
+    ft = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bodies (2,5)
+            bspec((1, 1, 1)),                        # spacing
+            bspec(pt.shape[:3]), bspec(glt.shape[:3]), bspec(gtt.shape[:3]),
+            bspec(xft.shape[:3]),
+        ],
+        out_specs=bspec(fshape),
+        out_shape=jax.ShapeDtypeStruct(fshape + (Bp,), p_ex.dtype),
+        interpret=interpret,
+    )(bodies_arr, spt, pt, glt, gtt, xft)
+
+    return jnp.transpose(ft[..., :B], (3, 1, 2, 0))

@@ -368,10 +368,17 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     gg = block_layout.build_guard_gather(nt, cfg.block_size)
 
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        # measured on this runtime: each pallas launch costs ~0.3 ms, so
+        # splitting the advance into 3 kernels does not beat the ~200-op
+        # jnp graph at flagship sizes; the kernels stay available (and
+        # equivalence-tested) for the single-kernel-per-step round-2 design
+        fused = False
     cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
                  cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
                  cfg.density_floor, cfg.gst_suppr_radius ** 2)
+    cfg_flux = (cfg.softening_radius, cfg.mach_number, cfg.axisymmetric_cs2,
+                cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
+                cfg.nu, cfg.domain_radius)
 
     @partial(jax.jit, static_argnames=("plm_theta",))
     def advance(u0, bodies, dt, plm_theta: float):
@@ -401,14 +408,20 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         gx_ex, gy_ex = G_ex[..., :nc], G_ex[..., nc:]
         gx_ey, gy_ey = G_ey[..., :nc], G_ey[..., nc:]
 
-        fx = block_fluxes(0, p0_ex, gx_ex, gy_ex, xf, face_len_x, spacing,
-                          bodies, cfg)
-        fy = block_fluxes(1, p0_ey, gy_ey, gx_ey, yf, face_len_y, spacing,
-                          bodies, cfg)
-
-        if not cfg.conserve_linear_p:
-            fx = to_angmom_fluxes(0, fx, xf, cfg.domain_radius)
-            fy = to_angmom_fluxes(1, fy, yf, cfg.domain_radius)
+        if fused:
+            from mara3_tpu.kernels import binary_update
+            fx = binary_update.fused_fluxes(p0_ex, gx_ex, gy_ex, xf,
+                                            spacing, bodies, 0, cfg_flux)
+            fy = binary_update.fused_fluxes(p0_ey, gy_ey, gx_ey, yf,
+                                            spacing, bodies, 1, cfg_flux)
+        else:
+            fx = block_fluxes(0, p0_ex, gx_ex, gy_ex, xf, face_len_x,
+                              spacing, bodies, cfg)
+            fy = block_fluxes(1, p0_ey, gy_ey, gx_ey, yf, face_len_y,
+                              spacing, bodies, cfg)
+            if not cfg.conserve_linear_p:
+                fx = to_angmom_fluxes(0, fx, xf, cfg.domain_radius)
+                fy = to_angmom_fluxes(1, fy, yf, cfg.domain_radius)
 
         fx = correct_coarse_fine_fluxes(fx, nt, axis=0)
         fy = correct_coarse_fine_fluxes(fy, nt, axis=1)
