@@ -25,17 +25,20 @@ from jax.experimental.pallas import tpu as pltpu
 from mara3_tpu.kernels.iso2d_step import H, _step_tile
 
 
-def build_halo_strips(u, TX: int, TY: int):
+def build_halo_strips(u, TX: int, TY: int, h: int = H):
     """Per-tile halo strips of a periodic [3, nx, ny] state.
 
     Returns (north, south, west, east):
-      north, south: [gi, gj, 3, H, TY+2H]  (rows beyond the tile, with
+      north, south: [gi, gj, 3, h, TY+2h]  (rows beyond the tile, with
                                             corner columns included)
-      west, east:   [gi, gj, 3, TX, H]     (columns beyond the tile)
-    Total size ~ state * (2H/TX + 2H/TY) — a few percent.
+      west, east:   [gi, gj, 3, TX, h]     (columns beyond the tile)
+    Total size ~ state * (2h/TX + 2h/TY) — a few percent. h defaults to
+    the single-step PLM stencil width; temporally-blocked kernels pass
+    h = 2G.
     """
     _, nx, ny = u.shape
     gi, gj = nx // TX, ny // TY
+    H = h
 
     # rows needed for north strips: rows (i*TX - H .. i*TX) mod nx
     north_rows = jnp.concatenate(
