@@ -117,3 +117,37 @@ def test_sedov_advance_n_matches_stepwise(tmp_path):
     for _ in range(5):
         u_step = sedov.advance_n(u_step, s.vertices, dt, True, 1)
     np.testing.assert_allclose(u_multi, u_step, rtol=1e-12)
+
+
+def test_sedov_taylor_similarity_law():
+    """Physics validation: the Newtonian blast's shock radius must follow
+    the Sedov-Taylor self-similar scaling R(t) ~ t^(2/5) once the swept-up
+    mass dominates (uniform ambient, density_index=0)."""
+    import jax.numpy as jnp
+    from mara3_tpu.core import ops
+    from mara3_tpu.mathx.shock import find_shock_index
+    from mara3_tpu.physics import euler
+
+    cfg = sedov.config_template().create().update(
+        {"nr": 96, "newtonian": 1, "outer_radius": 100.0})
+    state = sedov.new_solution(cfg)
+    dt = sedov.grid_dt(state.vertices)
+    dv = sedov.cell_volumes(state.vertices)
+
+    u = state.conserved
+    t = 0.0
+    times, radii = [], []
+    targets = np.linspace(1.0, 4.0, 12)
+    next_i = 0
+    while t < 4.0 and next_i < len(targets):
+        u = sedov.advance_n(u, state.vertices, dt, True, 50)
+        t += 50 * dt
+        if t >= targets[next_i]:
+            P = euler.recover_primitive(u / dv[:, None], 4 / 3, 0.0)
+            s = euler.specific_entropy(P, 4 / 3)
+            radii.append(float(state.vertices[int(find_shock_index(s))]))
+            times.append(t)
+            next_i += 1
+
+    exponent = np.polyfit(np.log(times), np.log(radii), 1)[0]
+    np.testing.assert_allclose(exponent, 0.4, atol=0.03)
