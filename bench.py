@@ -5,7 +5,7 @@ from BASELINE.json is 1e9 zone-updates/s/chip (the reference's kzps meter,
 subprog_binary.cpp:394-404, never published upstream — see BASELINE.md).
 
 Primary path: the fused Pallas kernel (kernels/iso2d_step.py) — full PLM +
-HLLE Godunov step per kernel pass, measured at ~1.4e10 zones/s on v5e. Falls
+HLLE Godunov step per kernel pass, measured at ~0.8e10 zones/s on v5e (consistent-protocol). Falls
 back to the pure-jnp scheme if Mosaic compilation is unavailable (e.g. on
 CPU), so the benchmark always reports.
 """
@@ -56,12 +56,14 @@ def _measure(f, n1: int, n2: int):
 
 
 def run_pallas(u, cs2, dtdx):
-    from mara3_tpu.kernels import iso2d_step_v2 as K
+    # v3: auto-pipelined halo-strip tiles + 4 steps per kernel launch
+    # (temporal blocking); head-to-head measurements in BASELINE.md
+    from mara3_tpu.kernels import iso2d_step_v3 as K
 
     def f(n):
-        return K.advance_n_pallas_v2(u, n, cs2=cs2, dtdx=dtdx, dtdy=dtdx,
-                                     theta=1.8, tile=(128, 512))
-    return _measure(f, 50, 4050), "pallas_fused_v2"
+        return K.advance_n_pallas_v3(u, n, G=4, cs2=cs2, dtdx=dtdx,
+                                     dtdy=dtdx, theta=1.8, tile=(128, 512))
+    return _measure(f, 52, 4052), "pallas_fused_v3"
 
 
 def run_jnp(u, cs2, dtdx):
