@@ -13,7 +13,6 @@ states at the n+1 interior faces, usable as a drop-in `reconstruct_method`.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 EPSILON = 1e-6
 

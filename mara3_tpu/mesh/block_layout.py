@@ -20,7 +20,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

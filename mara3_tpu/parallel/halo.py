@@ -13,9 +13,8 @@ relevant mesh axis name.
 
 from __future__ import annotations
 
-from functools import partial
 
-import jax
+
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P

@@ -24,7 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from mara3_tpu.mathx.plm import plm_gradient
 from mara3_tpu.mesh import block_layout

@@ -17,7 +17,7 @@ live in the binary subprogram; this module is pure hyperbolics.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mara3_tpu.app import driver, serialize
+from mara3_tpu.app import driver
 from mara3_tpu.app.config import ConfigTemplate
 from mara3_tpu.app.schedule import Schedule, mark_tasks
 from mara3_tpu.app.subprogram import register

@@ -19,7 +19,6 @@ prepared time/shock_radius datasets stay empty here too.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, replace
 from functools import partial
 
