@@ -220,7 +220,11 @@ def create_solver_data(cfg) -> SolverData:
         plm_theta=cfg.get_double("plm_theta"),
         rk_order=cfg.get_int("rk_order"),
         fixed_dt=bool(cfg.get_int("fixed_dt")),
-        begin_live_binary=cfg.get_double("begin_live_binary") * 2 * math.pi,
+        # the reference's config comment says orbits but its code compares
+        # the raw value against code time (subprog_binary_solver_data.cpp
+        # begin_live_binary assignment; advance_u's `live` test) — match the
+        # code, not the comment
+        begin_live_binary=cfg.get_double("begin_live_binary"),
         no_accretion_force=bool(cfg.get_int("no_accretion_force")),
         conserve_linear_p=conserve_linear_p,
         advance=binary_scheme.make_advance(
