@@ -34,7 +34,14 @@ def create_run_config(template: ConfigTemplate, argv) -> Config:
     cfg = template.create()
     if "restart" in args and args["restart"]:
         with h5py.File(args["restart"], "r") as f:
-            cfg = cfg.update(serialize.read_config(f["run_config"]))
+            # our checkpoints use 'run_config'; reference-generated sedov/
+            # cloud checkpoints use 'config' (subprog_sedov.cpp:487)
+            group = f["run_config"] if "run_config" in f else f["config"]
+            stored = serialize.read_config(group)
+            # ignore keys the template doesn't declare (forward/backward
+            # compatibility with reference-generated files)
+            stored = {k: v for k, v in stored.items() if k in cfg}
+            cfg = cfg.update(stored)
     return cfg.update(args)
 
 
