@@ -106,3 +106,37 @@ def test_max_wavespeed():
     P = jnp.array([1.0, 3.0, -4.0])
     cs2 = jnp.asarray(1.0)
     np.testing.assert_allclose(iso2d.max_wavespeed(P, cs2), 5.0)
+
+
+def test_hllc_variables_star_state_properties():
+    """The HLLC intermediate variables (reference riemann_hllc_variables_t,
+    physics_iso2d.hpp:522-702, exposed precisely so they can be unit-tested):
+    the contact speed lies between the outer wave speeds, and the star
+    states are consistent with the Rankine-Hugoniot relation across the
+    outer waves: F*_L = F_L + S_L (U*_L - U_L) keeps mass flux continuous
+    at the contact: U*_L sigma (S* - ...)"""
+    Pl = jnp.array([1.0, 0.3, 0.1])
+    Pr = jnp.array([0.6, -0.2, -0.4])
+    cs2l = jnp.asarray(0.2)
+    cs2r = jnp.asarray(0.3)
+    v = iso2d.compute_hllc_variables(Pl, Pr, cs2l, cs2r, NHAT_X)
+
+    assert float(v["sl"]) < float(v["sstar"]) < float(v["sr"])
+    # pressure positivity and pstar = max(0, ppvrs)
+    assert float(v["pstar"]) >= 0.0
+    np.testing.assert_allclose(float(v["pstar"]),
+                               max(0.0, float(v["ppvrs"])), rtol=1e-14)
+    # wavespeed estimates (Toro 10.68-10.69): q >= 1
+    assert float(v["ql"]) >= 1.0 and float(v["qr"]) >= 1.0
+
+    # mass flux continuity across the contact: both star states move at S*
+    dl = v["sigma_l"] * (v["sl"] - v["ul"]) / (v["sl"] - v["sstar"])
+    dr = v["sigma_r"] * (v["sr"] - v["ur"]) / (v["sr"] - v["sstar"])
+    # RH across left wave: f*_sigma = f_sigma + sl (d* - d)
+    f_sigma_l = float(v["ul"] * v["sigma_l"]
+                      + v["sl"] * (dl - v["sigma_l"]))
+    f_sigma_r = float(v["ur"] * v["sigma_r"]
+                      + v["sr"] * (dr - v["sigma_r"]))
+    # both equal d* S* on each side of the contact
+    np.testing.assert_allclose(f_sigma_l, float(dl * v["sstar"]), rtol=1e-12)
+    np.testing.assert_allclose(f_sigma_r, float(dr * v["sstar"]), rtol=1e-12)
