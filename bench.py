@@ -62,7 +62,7 @@ def run_pallas(u, cs2, dtdx):
 
     def f(n):
         return K.advance_n_pallas_v3(u, n, G=4, cs2=cs2, dtdx=dtdx,
-                                     dtdy=dtdx, theta=1.8, tile=(128, 512))
+                                     dtdy=dtdx, theta=1.8, tile=(64, 1024))
     return _measure(f, 52, 4052), "pallas_fused_v3"
 
 
