@@ -1,0 +1,348 @@
+"""Single-launch fused back half of the flagship circumbinary advance.
+
+Round-1 profiling (CLAUDE.md): each pallas launch costs ~0.3 ms on this
+runtime and each small jnp op ~5-6 us, so the ~200-op jnp advance sits at a
+~1.2 ms/step floor. This kernel collapses everything after the guard
+exchange + PLM (which stay as the measured-cheap jnp gathers) into ONE
+pallas_call gridded over chunks of blocks:
+
+  face extrapolation -> locally-isothermal HLLE + viscous stress
+  (subprog_binary_scheme.cpp:220-262) -> angular-momentum flux transform
+  (:196-214) -> flux divergence + gravity/sink/buffer/floor (+ geometric)
+  sources (:337-450) -> conservative update, with the ~20 accounting
+  reductions accumulated in-kernel.
+
+Coarse-fine flux correction (correct_fluxes_*, :614-720) needs *other*
+blocks' fluxes, so instead of a second launch the kernel emits each block's
+four edge-flux strips and a ~10-op jnp fixup adds
+(restricted fine flux - original flux) * dt/dA to the edge cells — the
+result matches the corrected-flux update to rounding.
+
+Blocks are processed K at a time ([K, C, n, n] tiles, component-first so
+the lane axis is a grid axis); K is chosen to fit VMEM. Padded blocks are
+masked out of the totals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pick_chunk(num_blocks: int, block_size: int, budget_bytes=4_000_000,
+               itemsize=4):
+    """Blocks per grid step: largest power-of-2-ish divisor candidate whose
+    working set (~160 floats/cell) fits the VMEM budget, padding B up when
+    it has no usable divisor."""
+    per_block = 160 * block_size * block_size * itemsize
+    kmax = max(1, budget_bytes // per_block)
+    for k in range(min(kmax, num_blocks), 0, -1):
+        if num_blocks % k == 0:
+            return k, num_blocks
+    return kmax, -(-num_blocks // kmax) * kmax
+
+
+def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
+    """Face flux * face_length on one axis. Inputs are component-first
+    [K, C, nf, mf] face-state/gradient arrays; xf [K, 2, nf, mf] face
+    centers; sp [K, 1, 1, 1] block spacing. Mirrors block_fluxes()
+    (schemes/binary_scheme.py) term for term."""
+    (softening, mach, axisym, conserve_p, alpha, alpha_cutoff, nu_const,
+     domain_radius) = cfg_flux
+
+    half = 0.5 * sp
+    plh = pl_ + gl * half
+    prh = pr_ - gr * half
+
+    x, y = xf[:, 0], xf[:, 1]
+    b1m, b1x, b1y = bodies[0, 0], bodies[0, 1], bodies[0, 2]
+    b2m, b2x, b2y = bodies[1, 0], bodies[1, 1], bodies[1, 2]
+    M2 = mach * mach
+    if axisym:
+        cs2 = 1.0 / jnp.sqrt(x * x + y * y) / M2
+    else:
+        p1 = -b1m / jnp.sqrt((x - b1x) ** 2 + (y - b1y) ** 2
+                             + softening ** 2)
+        p2 = -b2m / jnp.sqrt((x - b2x) ** 2 + (y - b2y) ** 2
+                             + softening ** 2)
+        cs2 = -(p1 + p2) / M2
+
+    r = jnp.sqrt(x * x + y * y)
+    if alpha_cutoff > 0.0:
+        profile = 0.5 * (1.0 + jnp.tanh(3.0 * (r - alpha_cutoff)))
+    else:
+        profile = jnp.ones_like(r)
+    if nu_const > 0.0:
+        nu = profile * nu_const
+    else:
+        nu = profile * alpha * jnp.sqrt(cs2) * (r / mach)
+    mu = 0.5 * nu * (plh[:, 0] + prh[:, 0])
+
+    cs = jnp.sqrt(cs2)
+    vnl = plh[:, 1 + axis]
+    vnr = prh[:, 1 + axis]
+    ap = jnp.maximum(0.0, jnp.maximum(vnl + cs, vnr + cs))
+    am = jnp.minimum(0.0, jnp.minimum(vnl - cs, vnr - cs))
+
+    def conserved(ph):
+        return jnp.stack([ph[:, 0], ph[:, 0] * ph[:, 1],
+                          ph[:, 0] * ph[:, 2]], axis=1)
+
+    Ul = conserved(plh)
+    Ur = conserved(prh)
+    pres_l = plh[:, 0] * cs2
+    pres_r = prh[:, 0] * cs2
+    zf = jnp.zeros_like(vnl)
+    if axis == 0:
+        Fl = jnp.stack([vnl * Ul[:, 0], vnl * Ul[:, 1] + pres_l,
+                        vnl * Ul[:, 2]], axis=1)
+        Fr = jnp.stack([vnr * Ur[:, 0], vnr * Ur[:, 1] + pres_r,
+                        vnr * Ur[:, 2]], axis=1)
+    else:
+        Fl = jnp.stack([vnl * Ul[:, 0], vnl * Ul[:, 1],
+                        vnl * Ul[:, 2] + pres_l], axis=1)
+        Fr = jnp.stack([vnr * Ur[:, 0], vnr * Ur[:, 1],
+                        vnr * Ur[:, 2] + pres_r], axis=1)
+
+    apx = ap[:, None]
+    amx = am[:, None]
+    fhat = (Fl * apx - Fr * amx - (Ul - Ur) * apx * amx) / (apx - amx)
+
+    # viscous stress (subprog_binary_scheme.cpp:220-262)
+    if axis == 0:
+        dx_ux = 0.5 * (gl[:, 1] + gr[:, 1])
+        dx_uy = 0.5 * (gl[:, 2] + gr[:, 2])
+        dy_ux = 0.5 * (hl[:, 1] + hr[:, 1])
+        dy_uy = 0.5 * (hl[:, 2] + hr[:, 2])
+        taux = mu * (dx_ux - dy_uy)
+        tauy = mu * (dx_uy + dy_ux)
+    else:
+        dx_ux = 0.5 * (hl[:, 1] + hr[:, 1])
+        dx_uy = 0.5 * (hl[:, 2] + hr[:, 2])
+        dy_ux = 0.5 * (gl[:, 1] + gr[:, 1])
+        dy_uy = 0.5 * (gl[:, 2] + gr[:, 2])
+        taux = mu * (dx_uy + dy_ux)
+        tauy = -mu * (dx_ux - dy_uy)
+    fhat = fhat + jnp.stack([zf, -taux, -tauy], axis=1)
+
+    if not conserve_p:
+        # (sigma, Sr, Lz) with Lz zeroed at the domain boundary; the
+        # boundary test mirrors jnp.isclose's default tolerances
+        fs = fhat[:, 0]
+        fsr = x * fhat[:, 1] + y * fhat[:, 2]
+        flz = x * fhat[:, 2] - y * fhat[:, 1]
+        coord = x if axis == 0 else y
+        at_boundary = jnp.abs(jnp.abs(coord) - domain_radius) \
+            <= 1e-8 + 1e-5 * domain_radius
+        flz = jnp.where(at_boundary, 0.0, flz)
+        fhat = jnp.stack([fs, fsr, flz], axis=1)
+
+    return fhat * sp
+
+
+def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
+            xc_ref, xf_ref, yf_ref, init_ref, br_ref, sp_ref, mask_ref,
+            u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
+            *, cfg_tuple, cfg_flux):
+    (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
+     floor, gst2) = cfg_tuple
+
+    dt = dt_ref[0, 0]
+    u0 = u0_ref[...]
+    pex = pex_ref[...]           # [K, C, bs+2, bs]
+    pey = pey_ref[...]           # [K, C, bs, bs+2]
+    Gex = Gex_ref[...]           # [K, 2C, bs+2, bs]  (gx | gy)
+    Gey = Gey_ref[...]
+    xc = xc_ref[...]             # [K, 2, bs, bs]
+    sp = sp_ref[...][:, :, None, None]   # [K, 1, 1, 1]
+    mask = mask_ref[...][:, :, None, None]
+
+    # ---- fluxes --------------------------------------------------------
+    fx = _hlle_viscous(pex[:, :, :-1], pex[:, :, 1:],
+                       Gex[:, 0:3, :-1], Gex[:, 0:3, 1:],
+                       Gex[:, 3:6, :-1], Gex[:, 3:6, 1:],
+                       xf_ref[...], sp, bodies_ref, 0, cfg_flux)
+    fy = _hlle_viscous(pey[:, :, :, :-1], pey[:, :, :, 1:],
+                       Gey[:, 3:6, :, :-1], Gey[:, 3:6, :, 1:],
+                       Gey[:, 0:3, :, :-1], Gey[:, 0:3, :, 1:],
+                       yf_ref[...], sp, bodies_ref, 1, cfg_flux)
+
+    fxlo_ref[...] = fx[:, :, 0]
+    fxhi_ref[...] = fx[:, :, -1]
+    fylo_ref[...] = fy[:, :, :, 0]
+    fyhi_ref[...] = fy[:, :, :, -1]
+
+    # ---- sources + accounting (port of kernels/binary_update._kernel,
+    # subprog_binary_scheme.cpp:337-450) ---------------------------------
+    x, y = xc[:, 0], xc[:, 1]
+    sigma = u0[:, 0]
+    p0 = pex[:, :, 1:-1]
+
+    def body_fields(k):
+        M = bodies_ref[k, 0]
+        bx = bodies_ref[k, 1]
+        by = bodies_ref[k, 2]
+        dxp = x - bx
+        dyp = y - by
+        dr2 = dxp * dxp + dyp * dyp
+        grav = -M / (dr2 + softening * softening) ** 1.5
+        fgx = dxp * grav * sigma
+        fgy = dyp * grav * sigma
+        sink = sink_rate * jnp.exp(-dr2 / (sink_radius ** 2) / 2.0)
+        return fgx, fgy, sink, M, bx, by
+
+    fg1x, fg1y, sink1, M1, b1x, b1y = body_fields(0)
+    fg2x, fg2y, sink2, M2c, b2x, b2y = body_fields(1)
+
+    z = jnp.zeros_like(sigma)
+    if conserve_p:
+        sg1 = jnp.stack([z, fg1x, fg1y], axis=1) * dt
+        sg2 = jnp.stack([z, fg2x, fg2y], axis=1) * dt
+    else:
+        sg1 = jnp.stack([z, x * fg1x + y * fg1y,
+                         x * fg1y - y * fg1x], axis=1) * dt
+        sg2 = jnp.stack([z, x * fg2x + y * fg2y,
+                         x * fg2y - y * fg2x], axis=1) * dt
+
+    ss1 = -u0 * sink1[:, None] * dt
+    ss2 = -u0 * sink2[:, None] * dt
+    sb = (init_ref[...] - u0) * br_ref[...][:, None] * dt
+    sf = u0 * (0.01 * (sigma < floor))[:, None]
+
+    s = sg1 + sg2 + ss1 + ss2 + sb + sf
+
+    if not conserve_p:
+        if axisym:
+            cs2 = 1.0 / jnp.sqrt(x * x + y * y) / (mach * mach)
+        else:
+            p1 = -M1 / jnp.sqrt((x - b1x) ** 2 + (y - b1y) ** 2
+                                + softening ** 2)
+            p2 = -M2c / jnp.sqrt((x - b2x) ** 2 + (y - b2y) ** 2
+                                 + softening ** 2)
+            cs2 = -(p1 + p2) / (mach * mach)
+        vsq = p0[:, 1] ** 2 + p0[:, 2] ** 2
+        Ek = 0.5 * p0[:, 0] * vsq
+        pg = p0[:, 0] * cs2
+        ramp = 1.0 - jnp.exp(-(x * x + y * y) / gst2)
+        s = s + jnp.stack([z, 2.0 * (Ek + pg) * ramp * dt, z], axis=1)
+
+    dA = sp * sp
+    div = (fx[:, :, 1:] - fx[:, :, :-1]) + (fy[:, :, :, 1:] - fy[:, :, :, :-1])
+    u1_ref[...] = u0 - div * dt / dA + s
+
+    # ---- totals accumulator across grid steps --------------------------
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        totals_ref[...] = jnp.zeros_like(totals_ref)
+
+    w = dA * mask   # [K,1,1,1]
+
+    def tot(a):
+        return jnp.sum(a * w[:, 0])
+
+    def lz_of(sv):
+        if conserve_p:
+            return x * sv[:, 2] - y * sv[:, 1]
+        return sv[:, 2]
+
+    def p_of(sv, comp):
+        if conserve_p:
+            return sv[:, 1 + comp]
+        r2 = x * x + y * y
+        r2 = jnp.where(r2 > 0.0, r2, 1.0)
+        px = (sv[:, 1] * x - sv[:, 2] * y) / r2
+        py = (sv[:, 1] * y + sv[:, 2] * x) / r2
+        return px if comp == 0 else py
+
+    # (row, col, value) scalar contributions assembled into one [16, 128]
+    # add — single-element VMEM stores don't vectorize well in Mosaic
+    entries = []
+    for k, (ssk, sgk, fgxk, fgyk) in enumerate(
+            [(ss1, sg1, fg1x, fg1y), (ss2, sg2, fg2x, fg2y)]):
+        entries += [(0, k, -tot(ssk[:, 0])),
+                    (1, k, -tot(lz_of(ssk))),
+                    (2, k, -tot(lz_of(sgk))),
+                    (3, k, -tot(p_of(ssk, 0))),
+                    (4, k, -tot(p_of(ssk, 1))),
+                    (5, k, -tot(fgxk * dt)),
+                    (6, k, -tot(fgyk * dt))]
+    entries += [(7, 0, -tot(sb[:, 0])), (8, 0, -tot(lz_of(sb)))]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+    contrib = jnp.zeros((16, 128), dtype=u0.dtype)
+    for r, k, v in entries:
+        contrib = contrib + jnp.where(
+            jnp.logical_and(rows == r, cols == k), v, 0.0)
+    totals_ref[...] += contrib
+
+
+def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
+                       br, spacing, bmask, dt, bodies, K, cfg_tuple,
+                       cfg_flux, interpret=False):
+    """One pallas launch over chunks of K blocks. All tensor args are
+    component-first [Bp, C, ., .] (Bp = padded block count); br [Bp, bs, bs];
+    spacing/bmask [Bp, 1]. Returns (u1T, edge flux strips, totals[16,128])."""
+    Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
+    dtype = u0T.dtype
+    grid = (Bp // K,)
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    bodies_arr = jnp.asarray(bodies, dtype)
+
+    def vspec(c, nx, ny):
+        return pl.BlockSpec((K, c, nx, ny), lambda j: (j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def vspec3(nx, ny):
+        return pl.BlockSpec((K, nx, ny), lambda j: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
+                               cfg_flux=cfg_flux)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem,                                   # dt (1,1)
+            smem,                                   # bodies (2,5)
+            vspec(C, bs, bs),                       # u0
+            vspec(C, bs + 2, bs),                   # pex
+            vspec(C, bs, bs + 2),                   # pey
+            vspec(2 * C, bs + 2, bs),               # Gex
+            vspec(2 * C, bs, bs + 2),               # Gey
+            vspec(2, bs, bs),                       # xc
+            vspec(2, bs + 1, bs),                   # xf
+            vspec(2, bs, bs + 1),                   # yf
+            vspec(C, bs, bs),                       # init
+            vspec3(bs, bs),                         # br
+            pl.BlockSpec((K, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # spacing
+            pl.BlockSpec((K, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),  # mask
+        ],
+        out_specs=(
+            vspec(C, bs, bs),
+            vspec3(C, bs), vspec3(C, bs), vspec3(C, bs), vspec3(C, bs),
+            pl.BlockSpec((16, 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((16, 128), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(dt_arr, bodies_arr, u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT,
+      initT, br, spacing, bmask)
+    return out

@@ -24,7 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
+import numpy as np
 
 from mara3_tpu.mathx.plm import plm_gradient
 from mara3_tpu.mesh import block_layout
@@ -352,10 +352,12 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     dA [B,bs,bs], spacing [B], xf [B,bs+1,bs,2], yf [B,bs,bs+1,2]).
     Returns advance(u, bodies, dt, plm_theta) -> (u1, totals, invalid).
 
-    With fused=True (default on TPU) the back half of the step — flux
-    divergence, source physics, accounting, fault flag — runs as one
-    Pallas kernel (kernels/binary_update.py); the jnp path remains the
-    reference semantics and the CPU path."""
+    fused=True (the default on TPU): everything after the guard exchange +
+    PLM runs as ONE pallas launch over block chunks
+    (kernels/binary_advance.py), with coarse-fine flux correction applied
+    as a cheap jnp edge fixup from the kernel's edge-flux outputs.
+    fused="split": the round-1 two-kernel split (kernels/binary_update.py).
+    fused=False: the pure-jnp reference-semantics path (the CPU path)."""
     xc, dA, spacing, xf, yf = (jnp.asarray(a) for a in geometry)
     initial_conserved = jnp.asarray(initial_conserved)
     buffer_rate = jnp.asarray(buffer_rate)
@@ -368,11 +370,11 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     gg = block_layout.build_guard_gather(nt, cfg.block_size)
 
     if fused is None:
-        # measured on this runtime: each pallas launch costs ~0.3 ms, so
-        # splitting the advance into 3 kernels does not beat the ~200-op
-        # jnp graph at flagship sizes; the kernels stay available (and
-        # equivalence-tested) for the single-kernel-per-step round-2 design
-        fused = False
+        # single-launch kernel on TPU; jnp graph elsewhere (tests/parity)
+        fused = jax.default_backend() == "tpu"
+    if fused is True:
+        return _make_advance_chunked(cfg, nt, geometry, initial_conserved,
+                                     buffer_rate, gg)
     cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
                  cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
                  cfg.density_floor, cfg.gst_suppr_radius ** 2)
@@ -443,6 +445,129 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
 
         invalid = jnp.any(jnp.logical_or(u1[..., 0] < 0.0,
                                          jnp.isnan(u1[..., 0])))
+        return u1, totals, invalid
+
+    return advance
+
+
+def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
+                          geometry, initial_conserved, buffer_rate, gg,
+                          interpret=False):
+    """Single-launch advance: jnp front half (primitive recovery, one-gather
+    guard exchange, PLM) feeding kernels/binary_advance.fused_advance_core,
+    plus the jnp coarse-fine edge fixup. Matches the fused=False path to
+    rounding (tests/test_pallas_kernel.py)."""
+    from mara3_tpu.kernels import binary_advance
+
+    xc, dA, spacing, xf, yf = (np.asarray(a) for a in geometry)
+    B, bs = xc.shape[0], cfg.block_size
+    K, Bp = binary_advance.pick_chunk(B, bs)
+    pad = Bp - B
+
+    dtype = jnp.asarray(initial_conserved).dtype
+    T = lambda a: jnp.transpose(jnp.asarray(a, dtype), (0, 3, 1, 2))
+
+    def padT(a):
+        at = T(a)
+        if pad:
+            at = jnp.pad(at, [(0, pad)] + [(0, 0)] * (at.ndim - 1))
+        return at
+
+    # static per-run arrays, component-first + padded once
+    xcT = padT(xc)
+    xfT = padT(xf)
+    yfT = padT(yf)
+    initT = padT(np.asarray(initial_conserved))
+    brP = jnp.pad(jnp.asarray(buffer_rate, dtype), [(0, pad), (0, 0), (0, 0)])
+    spP = jnp.asarray(
+        np.pad(spacing, (0, pad), constant_values=1.0), dtype).reshape(Bp, 1)
+    bmask = jnp.asarray(
+        np.pad(np.ones(B), (0, pad)), dtype).reshape(Bp, 1)
+    xc_j = jnp.asarray(xc, dtype)
+    sp_j = jnp.asarray(spacing, dtype)
+
+    cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
+                 cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
+                 cfg.density_floor, cfg.gst_suppr_radius ** 2)
+    cfg_flux = (cfg.softening_radius, cfg.mach_number, cfg.axisymmetric_cs2,
+                cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
+                cfg.nu, cfg.domain_radius)
+
+    fine0 = {f: jnp.asarray(nt.fine_id[:, f, 0]) for f in range(4)}
+    fine1 = {f: jnp.asarray(nt.fine_id[:, f, 1]) for f in range(4)}
+    fmask = {f: jnp.asarray(nt.case[:, f] == 2, dtype)[:, None, None]
+             for f in range(4)}
+
+    @partial(jax.jit, static_argnames=("plm_theta",))
+    def advance(u0, bodies, dt, plm_theta: float):
+        u0 = u0.astype(dtype)
+        if cfg.conserve_linear_p:
+            p0 = iso2d.recover_primitive(u0)
+        else:
+            p0 = iso2d.recover_primitive_angmom(u0, xc_j)
+
+        p0_ex = block_layout.extend_blocks_fast(p0, gg, axis=0)
+        p0_ey = block_layout.extend_blocks_fast(p0, gg, axis=1)
+
+        if cfg.reconstruct_method == "plm" and plm_theta > 0.0:
+            sp4 = sp_j[:, None, None, None]
+            gx = plm_gradient(p0_ex[:, :-2], p0_ex[:, 1:-1], p0_ex[:, 2:],
+                              plm_theta) / sp4
+            gy = plm_gradient(p0_ey[:, :, :-2], p0_ey[:, :, 1:-1],
+                              p0_ey[:, :, 2:], plm_theta) / sp4
+        else:
+            gx = jnp.zeros_like(p0)
+            gy = jnp.zeros_like(p0)
+
+        G = jnp.concatenate([gx, gy], axis=-1)
+        G_ex = block_layout.extend_blocks_fast(G, gg, axis=0)
+        G_ey = block_layout.extend_blocks_fast(G, gg, axis=1)
+
+        u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
+            binary_advance.fused_advance_core(
+                padT(u0), padT(p0_ex), padT(p0_ey), padT(G_ex), padT(G_ey),
+                xcT, xfT, yfT, initT, brP, spP, bmask, dt, bodies, K,
+                cfg_tuple, cfg_flux, interpret=interpret)
+
+        # coarse-fine flux correction as an edge fixup: add
+        # (restrict_extrinsic(fine fluxes) - own flux) * dt/dA at faces
+        # whose neighbor is finer (correct_fluxes_*, subprog_binary_scheme
+        # .cpp:614-720)
+        u1T = u1T[:B]
+        fxlo, fxhi = fxlo[:B], fxhi[:B]
+        fylo, fyhi = fylo[:B], fyhi[:B]
+        dtdA = (dt / (sp_j * sp_j))[:, None, None]
+
+        def restricted(strips, ids0, ids1):
+            st = jnp.concatenate([strips[ids0], strips[ids1]], axis=-1)
+            return st[..., 0::2] + st[..., 1::2]
+
+        d = (restricted(fxhi, fine0[0], fine1[0]) - fxlo) * dtdA * fmask[0]
+        u1T = u1T.at[:, :, 0, :].add(d)
+        d = (restricted(fxlo, fine0[1], fine1[1]) - fxhi) * dtdA * fmask[1]
+        u1T = u1T.at[:, :, -1, :].add(-d)
+        d = (restricted(fyhi, fine0[2], fine1[2]) - fylo) * dtdA * fmask[2]
+        u1T = u1T.at[:, :, :, 0].add(d)
+        d = (restricted(fylo, fine0[3], fine1[3]) - fyhi) * dtdA * fmask[3]
+        u1T = u1T.at[:, :, :, -1].add(-d)
+
+        u1 = jnp.transpose(u1T, (0, 2, 3, 1))
+        invalid = jnp.any(jnp.logical_or(u1T[:, 0] < 0.0,
+                                         jnp.isnan(u1T[:, 0])))
+
+        tt = totals16
+        totals = {
+            "mass_accreted_on": tt[0, :2],
+            "angular_momentum_accreted_on": tt[1, :2],
+            "integrated_torque_on": tt[2, :2],
+            "momentum_x_accreted_on": tt[3, :2],
+            "momentum_y_accreted_on": tt[4, :2],
+            "integrated_force_x_on": tt[5, :2],
+            "integrated_force_y_on": tt[6, :2],
+            "mass_ejected": tt[7, 0],
+            "angular_momentum_ejected": tt[8, 0],
+        }
+        totals["work_done_on"] = _work_done(totals, bodies)
         return u1, totals, invalid
 
     return advance

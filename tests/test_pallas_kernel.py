@@ -119,7 +119,7 @@ def test_fused_binary_update_matches_jnp(conserve_p):
     with pltpu.force_tpu_interpret_mode():
         adv_fused = binary_scheme.make_advance(
             sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
-            sd.buffer_rate, fused=True)
+            sd.buffer_rate, fused="split")
         u1f, totalsf, invf = adv_fused(sol.conserved, bodies, dt,
                                        sd.plm_theta)
 
@@ -170,3 +170,75 @@ def test_v3_temporal_blocking_matches_sequential():
                                      tile=(64, 128))
     np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
                                rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("conserve_p", [True, False])
+@pytest.mark.parametrize("reconstruct", ["plm", "pcm"])
+def test_chunked_advance_matches_jnp(conserve_p, reconstruct):
+    """The single-launch chunked advance (kernels/binary_advance.py +
+    the jnp coarse-fine edge fixup) must reproduce the jnp advance —
+    state, accounting totals, fault flag — on an AMR mesh with live
+    coarse-fine faces, in both conservation formulations."""
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.schemes import binary_scheme
+    from mara3_tpu.models import two_body
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 8,
+         "conserve_linear_p": 1 if conserve_p else 0,
+         "reconstruct_method": reconstruct,
+         "density_floor": 1e-6})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0))
+    dt = sd.recommended_time_step
+
+    adv_ref = binary_scheme.make_advance(
+        sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+        sd.buffer_rate, fused=False)
+    u1, totals, inv = adv_ref(sol.conserved, bodies, dt, sd.plm_theta)
+
+    with pltpu.force_tpu_interpret_mode():
+        adv_new = binary_scheme.make_advance(
+            sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+            sd.buffer_rate, fused=True)
+        u1f, totalsf, invf = adv_new(sol.conserved, bodies, dt,
+                                     sd.plm_theta)
+
+    np.testing.assert_allclose(np.asarray(u1f), np.asarray(u1),
+                               rtol=1e-12, atol=1e-20)
+    for k in totals:
+        np.testing.assert_allclose(np.asarray(totalsf[k]),
+                                   np.asarray(totals[k]),
+                                   rtol=1e-10, atol=1e-17)
+    assert bool(invf) == bool(inv)
+
+
+def test_chunked_advance_fault_flag():
+    """A negative-density cell must raise the chunked path's fault flag
+    exactly like the jnp path (value-level analog of the reference throw,
+    physics_iso2d.hpp:359)."""
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.schemes import binary_scheme
+    from mara3_tpu.models import two_body
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 2, "block_size": 8})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0))
+    # a dt large enough to evacuate cells near the sinks
+    dt = sd.recommended_time_step * 1e4
+
+    with pltpu.force_tpu_interpret_mode():
+        adv_new = binary_scheme.make_advance(
+            sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+            sd.buffer_rate, fused=True)
+        _, _, invf = adv_new(sol.conserved, bodies, dt, sd.plm_theta)
+    adv_ref = binary_scheme.make_advance(
+        sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+        sd.buffer_rate, fused=False)
+    _, _, inv = adv_ref(sol.conserved, bodies, dt, sd.plm_theta)
+    assert bool(inv) and bool(invf)
