@@ -78,10 +78,40 @@ def measure(advance_n, u0, nzones, n1=5, n2=45):
     return nzones * (n2 - n1) / dtspan, (t2 - t1) / (n2 - n1)
 
 
+def bench_fast_step(cfg_updates, rk_order=1, n_warm=5, n_meas=40):
+    """Wall-clock per full step of the fast driver loop: fully-jitted step
+    (CFL + RK + bookkeeping + retry) + per-step scalar readback — the same
+    protocol as the subprogram's kzps meter."""
+    import time as _time
+
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        dict(cfg_updates, rk_order=rk_order))
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    step = binary_step.make_fast_step(sd)
+    s = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    nz = s["conserved"].shape[0] * s["conserved"].shape[1] ** 2
+
+    for _ in range(n_warm):
+        s, info = step(s)
+        float(s["time"])
+    t0 = _time.perf_counter()
+    for _ in range(n_meas):
+        s, info = step(s)
+        float(s["time"])
+    per = (_time.perf_counter() - t0) / n_meas
+    assert not bool(info["invalid"])
+    return nz / per, per, nz, s["conserved"].shape[0]
+
+
 def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:])
-    impls = {"kernel": [True], "jnp": [False],
-             "both": [False, True]}[args.get("impl", "both")]
+    impls = {"kernel": [True], "jnp": [False], "both": [False, True],
+             "step": []}[args.get("impl", "both")]
     names = args.get("configs", "d6b24,d6b64,d7b64,d6b96").split(",")
 
     for name in names:
@@ -97,6 +127,18 @@ def main():
             except Exception as e:
                 print(json.dumps({"config": name, "impl": label,
                                   "error": repr(e)[:300]}), flush=True)
+        if args.get("impl") in (None, "both", "step"):
+            for rk in (1, 2):
+                try:
+                    zps, per, nz, B = bench_fast_step(CONFIGS[name], rk)
+                    print(json.dumps({
+                        "config": name, "impl": f"fast_step_rk{rk}",
+                        "blocks": B, "zones": nz, "zps": zps,
+                        "ms_per_step": per * 1e3}), flush=True)
+                except Exception as e:
+                    print(json.dumps({
+                        "config": name, "impl": f"fast_step_rk{rk}",
+                        "error": repr(e)[:300]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,12 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pick_chunk(num_blocks: int, block_size: int, budget_bytes=4_000_000,
+def pick_chunk(num_blocks: int, block_size: int, budget_bytes=10_000_000,
                itemsize=4):
-    """Blocks per grid step: largest power-of-2-ish divisor candidate whose
-    working set (~160 floats/cell) fits the VMEM budget, padding B up when
-    it has no usable divisor."""
-    per_block = 160 * block_size * block_size * itemsize
+    """Blocks per grid step: the largest divisor of B whose double-buffered
+    working set (~36 floats/cell live in VMEM, x2 for pipelining) fits the
+    VMEM budget; B is padded up when it has no usable divisor."""
+    per_block = 2 * 36 * block_size * block_size * itemsize
     kmax = max(1, budget_bytes // per_block)
     for k in range(min(kmax, num_blocks), 0, -1):
         if num_blocks % k == 0:
@@ -158,8 +158,8 @@ def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
     Gex = Gex_ref[...]           # [K, 2C, bs+2, bs]  (gx | gy)
     Gey = Gey_ref[...]
     xc = xc_ref[...]             # [K, 2, bs, bs]
-    sp = sp_ref[...][:, :, None, None]   # [K, 1, 1, 1]
-    mask = mask_ref[...][:, :, None, None]
+    sp = sp_ref[...][..., None]          # [K, 1, 1, 1]
+    mask = mask_ref[...][..., None]
 
     # ---- fluxes --------------------------------------------------------
     fx = _hlle_viscous(pex[:, :, :-1], pex[:, :, 1:],
@@ -286,7 +286,7 @@ def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
                        cfg_flux, interpret=False):
     """One pallas launch over chunks of K blocks. All tensor args are
     component-first [Bp, C, ., .] (Bp = padded block count); br [Bp, bs, bs];
-    spacing/bmask [Bp, 1]. Returns (u1T, edge flux strips, totals[16,128])."""
+    spacing/bmask [Bp, 1, 1]. Returns (u1T, edge flux strips, totals[16,128])."""
     Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
     dtype = u0T.dtype
     grid = (Bp // K,)
@@ -321,10 +321,8 @@ def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
             vspec(2, bs, bs + 1),                   # yf
             vspec(C, bs, bs),                       # init
             vspec3(bs, bs),                         # br
-            pl.BlockSpec((K, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),  # spacing
-            pl.BlockSpec((K, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),  # mask
+            vspec3(1, 1),                           # spacing (Bp, 1, 1)
+            vspec3(1, 1),                           # mask (Bp, 1, 1)
         ],
         out_specs=(
             vspec(C, bs, bs),

@@ -382,8 +382,9 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                 cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
                 cfg.nu, cfg.domain_radius)
 
-    @partial(jax.jit, static_argnames=("plm_theta",))
-    def advance(u0, bodies, dt, plm_theta: float):
+    def advance_impl(u0, bodies, dt, plm_theta):
+        # plm_theta may be a traced scalar (the in-graph safe-mode retry
+        # passes 0.0, which zeroes the limited slopes — first order)
         if cfg.conserve_linear_p:
             p0 = iso2d.recover_primitive(u0)
         else:
@@ -392,7 +393,7 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         p0_ex = block_layout.extend_blocks_fast(p0, gg, axis=0)
         p0_ey = block_layout.extend_blocks_fast(p0, gg, axis=1)
 
-        if cfg.reconstruct_method == "plm" and plm_theta > 0.0:
+        if cfg.reconstruct_method == "plm":
             sp = spacing[:, None, None, None]
             gx = plm_gradient(p0_ex[:, :-2], p0_ex[:, 1:-1], p0_ex[:, 2:],
                               plm_theta) / sp
@@ -447,6 +448,12 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                                          jnp.isnan(u1[..., 0])))
         return u1, totals, invalid
 
+    jitted = jax.jit(advance_impl)
+
+    def advance(u0, bodies, dt, plm_theta):
+        return jitted(u0, bodies, dt, plm_theta)
+
+    advance.traced = advance_impl
     return advance
 
 
@@ -480,9 +487,9 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     initT = padT(np.asarray(initial_conserved))
     brP = jnp.pad(jnp.asarray(buffer_rate, dtype), [(0, pad), (0, 0), (0, 0)])
     spP = jnp.asarray(
-        np.pad(spacing, (0, pad), constant_values=1.0), dtype).reshape(Bp, 1)
+        np.pad(spacing, (0, pad), constant_values=1.0), dtype).reshape(Bp, 1, 1)
     bmask = jnp.asarray(
-        np.pad(np.ones(B), (0, pad)), dtype).reshape(Bp, 1)
+        np.pad(np.ones(B), (0, pad)), dtype).reshape(Bp, 1, 1)
     xc_j = jnp.asarray(xc, dtype)
     sp_j = jnp.asarray(spacing, dtype)
 
@@ -498,8 +505,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     fmask = {f: jnp.asarray(nt.case[:, f] == 2, dtype)[:, None, None]
              for f in range(4)}
 
-    @partial(jax.jit, static_argnames=("plm_theta",))
-    def advance(u0, bodies, dt, plm_theta: float):
+    def advance_impl(u0, bodies, dt, plm_theta):
         u0 = u0.astype(dtype)
         if cfg.conserve_linear_p:
             p0 = iso2d.recover_primitive(u0)
@@ -509,7 +515,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         p0_ex = block_layout.extend_blocks_fast(p0, gg, axis=0)
         p0_ey = block_layout.extend_blocks_fast(p0, gg, axis=1)
 
-        if cfg.reconstruct_method == "plm" and plm_theta > 0.0:
+        if cfg.reconstruct_method == "plm":
             sp4 = sp_j[:, None, None, None]
             gx = plm_gradient(p0_ex[:, :-2], p0_ex[:, 1:-1], p0_ex[:, 2:],
                               plm_theta) / sp4
@@ -570,6 +576,12 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         totals["work_done_on"] = _work_done(totals, bodies)
         return u1, totals, invalid
 
+    jitted = jax.jit(advance_impl)
+
+    def advance(u0, bodies, dt, plm_theta):
+        return jitted(u0, bodies, dt, plm_theta)
+
+    advance.traced = advance_impl
     return advance
 
 

@@ -1,0 +1,192 @@
+"""Fully-jitted flagship step: CFL + RK stages + two-body bookkeeping +
+safe-mode retry as ONE XLA program.
+
+The host path (subprograms/binary.py::next_solution) round-trips
+device->host once per RK stage to run the scalar orbital-element
+bookkeeping, costing milliseconds per step on the TPU tunnel. Here the
+whole step — the reference's next_solution + advance_u orbital updates
+(subprog_binary.cpp:258-292, subprog_binary_scheme.cpp:790-1020) —
+compiles into one program using the traced two-body module
+(models/two_body_jax.py), and the negative-density safe-mode retry
+(dt/10, theta=0; subprog_binary.cpp:285-292) becomes a lax.cond instead
+of a caught exception.
+
+State crosses the step as a flat dict-of-arrays pytree; converters to and
+from the host Solution dataclass live here. Equivalence with the host
+path is tested in tests/test_binary_fast_step.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mara3_tpu.models import two_body_jax as tbj
+from mara3_tpu.physics import iso2d
+from mara3_tpu.schemes.binary_scheme import cs2_at_position
+
+
+def solution_to_arrays(sol, dtype):
+    f = lambda v: jnp.asarray(v, dtype)
+    return {
+        "time": f(sol.time),
+        "iteration": jnp.asarray(sol.iteration, jnp.int32),
+        "conserved": f(sol.conserved),
+        "mass_accreted_on": f(sol.mass_accreted_on),
+        "angular_momentum_accreted_on": f(sol.angular_momentum_accreted_on),
+        "integrated_torque_on": f(sol.integrated_torque_on),
+        "work_done_on": f(sol.work_done_on),
+        "mass_ejected": f(sol.mass_ejected),
+        "angular_momentum_ejected": f(sol.angular_momentum_ejected),
+        "oe_acc": tbj.pack_elements(sol.orbital_elements_acc, dtype),
+        "oe_grav": tbj.pack_elements(sol.orbital_elements_grav, dtype),
+        "oe": tbj.pack_elements(sol.orbital_elements, dtype),
+    }
+
+
+def arrays_to_solution(s, sol_cls):
+    t2 = lambda a: (float(a[0]), float(a[1]))
+    return sol_cls(
+        time=float(s["time"]),
+        iteration=int(s["iteration"]),
+        conserved=s["conserved"],
+        mass_accreted_on=t2(s["mass_accreted_on"]),
+        angular_momentum_accreted_on=t2(s["angular_momentum_accreted_on"]),
+        integrated_torque_on=t2(s["integrated_torque_on"]),
+        work_done_on=t2(s["work_done_on"]),
+        mass_ejected=float(s["mass_ejected"]),
+        angular_momentum_ejected=float(s["angular_momentum_ejected"]),
+        orbital_elements_acc=tbj.unpack_elements(s["oe_acc"]),
+        orbital_elements_grav=tbj.unpack_elements(s["oe_grav"]),
+        orbital_elements=tbj.unpack_elements(s["oe"]))
+
+
+def make_fast_step(sd):
+    """step(arrays) -> (arrays, info) where info = dict(dt, retried,
+    invalid, disk_mass, disk_angular_momentum) of scalars. `sd` is the
+    SolverData from subprograms/binary.py."""
+    adv = sd.advance.traced
+    cfg = sd.cfg_scheme
+    xc = jnp.asarray(sd.geometry[0])
+    dA = jnp.asarray(sd.geometry[1])
+    spacing = jnp.asarray(sd.geometry[2])
+    cfl = sd.cfl_number
+    rec_dt = sd.recommended_time_step
+    theta0 = sd.plm_theta
+    live_after = sd.begin_live_binary
+    no_acc_force = sd.no_accretion_force
+    conserve_p = sd.conserve_linear_p
+    rk_order = sd.rk_order
+    fixed_dt = sd.fixed_dt
+
+    def stage(s, dt, theta):
+        """One advance + orbital-element bookkeeping (the traced analog of
+        subprograms/binary.py::advance)."""
+        bodies = tbj.compute_two_body_state(s["oe"], s["time"])
+        u1, t, invalid = adv(s["conserved"], bodies, dt, theta)
+
+        dM = t["mass_accreted_on"]
+        dpx = t["momentum_x_accreted_on"]
+        dpy = t["momentum_y_accreted_on"]
+        m, vx, vy = bodies[:, 0], bodies[:, 3], bodies[:, 4]
+        if no_acc_force:
+            avx, avy = vx, vy
+        else:
+            avx = (m * vx + dpx) / (m + dM)
+            avy = (m * vy + dpy) / (m + dM)
+        acc_bodies = jnp.stack(
+            [m + dM, bodies[:, 1], bodies[:, 2], avx, avy], axis=1)
+        grv_bodies = jnp.stack(
+            [m, bodies[:, 1], bodies[:, 2],
+             vx + t["integrated_force_x_on"] / m,
+             vy + t["integrated_force_y_on"] / m], axis=1)
+
+        E0 = s["oe"]
+        d_acc = tbj.diff(E0, tbj.compute_orbital_elements(acc_bodies,
+                                                          s["time"]))
+        d_grv = tbj.diff(E0, tbj.compute_orbital_elements(grv_bodies,
+                                                          s["time"]))
+        d_cm = tbj.diff_cm(E0, dt)
+        live = jnp.where(s["time"] > live_after, 1.0, 0.0).astype(E0.dtype)
+
+        s1 = {
+            "time": s["time"] + dt,
+            "iteration": s["iteration"] + 1,
+            "conserved": u1,
+            "mass_accreted_on": s["mass_accreted_on"]
+                + t["mass_accreted_on"],
+            "angular_momentum_accreted_on":
+                s["angular_momentum_accreted_on"]
+                + t["angular_momentum_accreted_on"],
+            "integrated_torque_on": s["integrated_torque_on"]
+                + t["integrated_torque_on"],
+            "work_done_on": s["work_done_on"] + t["work_done_on"],
+            "mass_ejected": s["mass_ejected"] + t["mass_ejected"],
+            "angular_momentum_ejected": s["angular_momentum_ejected"]
+                + t["angular_momentum_ejected"],
+            "oe_acc": s["oe_acc"] + d_acc,
+            "oe_grav": s["oe_grav"] + d_grv,
+            "oe": E0 + (d_acc + d_grv + d_cm) * live,
+        }
+        return s1, invalid
+
+    def do_step(s, dt, theta):
+        """RK1/RK2 composition (subprog_binary.cpp:258-283; the RK2 average
+        is Solution.scaled_plus with weights 1/2, 1/2)."""
+        s1, i1 = stage(s, dt, theta)
+        if rk_order == 1:
+            return s1, i1
+        s2, i2 = stage(s1, dt, theta)
+
+        def avg(a, b):
+            if a.dtype == jnp.int32:
+                return (a + b) // 2
+            return 0.5 * a + 0.5 * b
+
+        return jax.tree.map(avg, s, s2), jnp.logical_or(i1, i2)
+
+    def maximum_timestep(u, bodies):
+        """Global min over blocks of spacing / max wavespeed
+        (subprog_binary_scheme.cpp:1107-1126)."""
+        if conserve_p:
+            p0 = iso2d.recover_primitive(u)
+        else:
+            p0 = iso2d.recover_primitive_angmom(u, xc)
+        cs2 = cs2_at_position(xc, bodies, cfg)
+        a = iso2d.max_wavespeed(p0, cs2)
+        return jnp.min(spacing / jnp.max(a, axis=(1, 2)))
+
+    @jax.jit
+    def step(s):
+        if fixed_dt:
+            dt = jnp.asarray(rec_dt, s["time"].dtype)
+        else:
+            bodies = tbj.compute_two_body_state(s["oe"], s["time"])
+            dt = cfl * maximum_timestep(s["conserved"], bodies)
+
+        theta_t = jnp.asarray(theta0, dt.dtype)
+        s1, inv = do_step(s, dt, theta_t)
+
+        # safe-mode retry in-graph: recompute the whole step at dt/10 with
+        # first-order reconstruction when any stage saw a negative density;
+        # lax.cond executes the retry branch only when needed
+        def retry(_):
+            s_safe, inv_safe = do_step(s, dt * 0.1, jnp.zeros_like(theta_t))
+            return s_safe, inv_safe, dt * 0.1
+
+        def keep(_):
+            return s1, jnp.zeros_like(inv), dt
+
+        s_out, invalid, dt_used = jax.lax.cond(inv, retry, keep, None)
+        info = {
+            "dt": dt_used,
+            "retried": inv,
+            "invalid": invalid,
+            "disk_mass": jnp.sum(s_out["conserved"][..., 0] * dA),
+            "disk_angular_momentum": jnp.sum(
+                (iso2d.angular_momentum(s_out["conserved"], xc)
+                 if conserve_p else s_out["conserved"][..., 2]) * dA),
+        }
+        return s_out, info
+
+    return step

@@ -78,7 +78,11 @@ def create_config_template():
             .item("alpha_cutoff_radius", 0.0)
             .item("alpha", 0.1)
             .item("nu", 0.0)
-            .item("mdot", 0.0))
+            .item("mdot", 0.0)
+            # fully-jitted step (CFL + RK + orbital bookkeeping + safe
+            # retry in one XLA program, schemes/binary_step.py):
+            # 1 on, 0 off, -1 auto (on when the backend is a TPU)
+            .item("fast_step", -1))
 
 
 # -----------------------------------------------------------------------------
@@ -663,6 +667,82 @@ def next_state(state: State, sd: SolverData) -> State:
     return State(solution, schedule, state.time_series, cfg)
 
 
+def _fast_sample(s, info, sd):
+    """Time-series row from the fast-step pytree + info scalars, reading
+    back only small buffers (the conserved array stays on device)."""
+    from mara3_tpu.models import two_body_jax as tbj
+    t = float(s["time"])
+    oe = tbj.unpack_elements(np.asarray(s["oe"]))
+    bstate = two_body.compute_two_body_state(oe, t)
+    g2 = lambda k: tuple(float(v) for v in np.asarray(s[k]))
+    return np.array((
+        t, float(info["disk_mass"]), float(info["disk_angular_momentum"]),
+        g2("mass_accreted_on"), g2("angular_momentum_accreted_on"),
+        g2("integrated_torque_on"), g2("work_done_on"),
+        float(s["mass_ejected"]), float(s["angular_momentum_ejected"]),
+        _full_elements_to_np(tbj.unpack_elements(np.asarray(s["oe_acc"]))),
+        _full_elements_to_np(tbj.unpack_elements(np.asarray(s["oe_grav"]))),
+        _full_elements_to_np(oe),
+        (bstate.body1.position_x, bstate.body1.position_y),
+        (bstate.body2.position_x, bstate.body2.position_y)),
+        dtype=TIME_SERIES_DTYPE)
+
+
+def _run_tasks_fast(s, info, schedule, time_series, cfg, sd):
+    """Task runner for the fast path: time-series samples are built from
+    scalars; only checkpoint/diagnostics cadences pull the full state."""
+    from mara3_tpu.schemes import binary_step
+    if schedule.is_due("write_diagnostics") or \
+            schedule.is_due("write_checkpoint"):
+        state = State(binary_step.arrays_to_solution(s, Solution),
+                      schedule, time_series, cfg)
+        state = run_tasks(state, sd)
+        return state.schedule, state.time_series
+    if schedule.is_due("record_time_series"):
+        time_series = time_series + (_fast_sample(s, info, sd),)
+        schedule = schedule.mark_as_completed("record_time_series")
+    return schedule, time_series
+
+
+def _main_fast(cfg, sd: SolverData, state: State) -> int:
+    """Driver loop over the fully-jitted step (schemes/binary_step.py)."""
+    import time as _time
+
+    from mara3_tpu.schemes import binary_step
+
+    step = binary_step.make_fast_step(sd)
+    dtype = jnp.asarray(sd.initial_conserved).dtype
+    s = binary_step.solution_to_arrays(state.solution, dtype)
+    schedule, ts = state.schedule, state.time_series
+    num_zones = s["conserved"].shape[0] * s["conserved"].shape[1] ** 2
+    tfinal = cfg.get_double("tfinal")
+    intervals = [
+        ("write_checkpoint", cfg.get_double("cpi") * 2 * math.pi),
+        ("write_diagnostics", cfg.get_double("dfi") * 2 * math.pi),
+        ("record_time_series", cfg.get_double("tsi") * 2 * math.pi)]
+
+    while float(s["time"]) / (2 * math.pi) < tfinal:
+        t0 = _time.perf_counter()
+        s, info = step(s)
+        t_now = float(s["time"])           # host readback = timing fence
+        ms = (_time.perf_counter() - t0) * 1e3
+        if bool(info["retried"]):
+            print("negative density: retried in safe mode (dt/10, theta=0)")
+        if bool(info["invalid"]):
+            raise NegativeDensityError(
+                "negative density persisted through safe-mode retry")
+        schedule = mark_tasks(schedule, t_now, intervals)
+        schedule, ts = _run_tasks_fast(s, info, schedule, ts, cfg, sd)
+        print(f"[{int(s['iteration']):04d}] "
+              f"orbits={t_now / (2 * math.pi):3.7f} "
+              f"kzps={num_zones / max(ms, 1e-12):3.2f}")
+
+    state = State(binary_step.arrays_to_solution(s, Solution),
+                  schedule, ts, cfg)
+    run_tasks(state, sd)
+    return 0
+
+
 @register("binary")
 def main(argv) -> int:
     import os
@@ -678,6 +758,12 @@ def main(argv) -> int:
           f"depth {tree.tree_depth(sd.leaves)}")
 
     state = run_tasks(state, sd)
+
+    fast = cfg.get_int("fast_step")
+    if fast < 0:
+        fast = int(jax.default_backend() == "tpu")
+    if fast:
+        return _main_fast(cfg, sd, state)
 
     from mara3_tpu.app.performance import time_execution
     num_zones = len(sd.leaves) * bs * bs
