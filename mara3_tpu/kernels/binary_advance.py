@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pick_chunk(num_blocks: int, block_size: int, budget_bytes=10_000_000,
+def pick_chunk(num_blocks: int, block_size: int, budget_bytes=5_000_000,
                itemsize=4):
     """Blocks per grid step: the largest divisor of B whose double-buffered
     working set (~36 floats/cell live in VMEM, x2 for pipelining) fits the
@@ -52,7 +52,7 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
     centers; sp [K, 1, 1, 1] block spacing. Mirrors block_fluxes()
     (schemes/binary_scheme.py) term for term."""
     (softening, mach, axisym, conserve_p, alpha, alpha_cutoff, nu_const,
-     domain_radius) = cfg_flux
+     domain_radius, riemann) = cfg_flux
 
     half = 0.5 * sp
     plh = pl_ + gl * half
@@ -108,9 +108,39 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
         Fr = jnp.stack([vnr * Ur[:, 0], vnr * Ur[:, 1],
                         vnr * Ur[:, 2] + pres_r], axis=1)
 
-    apx = ap[:, None]
-    amx = am[:, None]
-    fhat = (Fl * apx - Fr * amx - (Ul - Ur) * apx * amx) / (apx - amx)
+    if riemann == "hllc":
+        # HLLC, Toro 3rd ed. sec 10.6 for isothermal gamma=1
+        # (physics_iso2d.hpp:522-712); cs2_l == cs2_r == cs2 at the face
+        sig_l, sig_r = plh[:, 0], prh[:, 0]
+        sigma_bar = 0.5 * (sig_l + sig_r)
+        ppvrs = 0.5 * (pres_l + pres_r) - 0.5 * (vnr - vnl) * sigma_bar * cs
+        pstar = jnp.maximum(0.0, ppvrs)
+        ql = jnp.maximum(1.0, jnp.sqrt(pstar / pres_l))
+        qr = jnp.maximum(1.0, jnp.sqrt(pstar / pres_r))
+        sl = vnl - cs * ql
+        sr = vnr + cs * qr
+        den = sig_l * (sl - vnl) - sig_r * (sr - vnr)
+        sstar = (pres_r - pres_l + vnl * sig_l * (sl - vnl)
+                 - vnr * sig_r * (sr - vnr)) / den
+        dl = sig_l * (sl - vnl) / (sl - sstar)
+        dr = sig_r * (sr - vnr) / (sr - sstar)
+        # star states: normal velocity -> sstar, transverse preserved
+        if axis == 0:
+            Ul_star = jnp.stack([dl, dl * sstar, dl * plh[:, 2]], axis=1)
+            Ur_star = jnp.stack([dr, dr * sstar, dr * prh[:, 2]], axis=1)
+        else:
+            Ul_star = jnp.stack([dl, dl * plh[:, 1], dl * sstar], axis=1)
+            Ur_star = jnp.stack([dr, dr * prh[:, 1], dr * sstar], axis=1)
+        Fl_star = Fl + (Ul_star - Ul) * sl[:, None]
+        Fr_star = Fr + (Ur_star - Ur) * sr[:, None]
+        slp, srp, ssp = sl[:, None], sr[:, None], sstar[:, None]
+        fhat = jnp.where(slp >= 0.0, Fl,
+               jnp.where(ssp >= 0.0, Fl_star,
+               jnp.where(srp >= 0.0, Fr_star, Fr)))
+    else:
+        apx = ap[:, None]
+        amx = am[:, None]
+        fhat = (Fl * apx - Fr * amx - (Ul - Ur) * apx * amx) / (apx - amx)
 
     # viscous stress (subprog_binary_scheme.cpp:220-262)
     if axis == 0:
@@ -171,10 +201,12 @@ def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
                        Gey[:, 0:3, :, :-1], Gey[:, 0:3, :, 1:],
                        yf_ref[...], sp, bodies_ref, 1, cfg_flux)
 
+    # positive static indices only: negative ints lower via dynamic_slice,
+    # which Mosaic does not implement
     fxlo_ref[...] = fx[:, :, 0]
-    fxhi_ref[...] = fx[:, :, -1]
+    fxhi_ref[...] = fx[:, :, fx.shape[2] - 1]
     fylo_ref[...] = fy[:, :, :, 0]
-    fyhi_ref[...] = fy[:, :, :, -1]
+    fyhi_ref[...] = fy[:, :, :, fy.shape[3] - 1]
 
     # ---- sources + accounting (port of kernels/binary_update._kernel,
     # subprog_binary_scheme.cpp:337-450) ---------------------------------

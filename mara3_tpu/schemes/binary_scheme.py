@@ -48,6 +48,9 @@ class SchemeConfig:
     axisymmetric_cs2: bool
     conserve_linear_p: bool
     reconstruct_method: str   # 'plm' or 'pcm'
+    riemann: str = "hlle"     # 'hlle' (the reference's pinned choice,
+                              # subprog_binary_solver_data.cpp:109) or
+                              # 'hllc' (physics_iso2d.hpp:704-712)
 
 
 # -----------------------------------------------------------------------------
@@ -160,7 +163,9 @@ def block_fluxes(axis, p_ext, g_long_ext, g_tran_ext, xf, face_len, spacing,
     mu = 0.5 * nu * (pl_hat[..., 0] + pr_hat[..., 0])
 
     nhat = (1.0, 0.0) if axis == 0 else (0.0, 1.0)
-    fhat = iso2d.riemann_hlle(pl_hat, pr_hat, cs2, cs2, nhat)
+    solver = (iso2d.riemann_hllc if cfg.riemann == "hllc"
+              else iso2d.riemann_hlle)
+    fhat = solver(pl_hat, pr_hat, cs2, cs2, nhat)
     fhat = fhat + viscous_flux(axis, gl, gr, hl, hr, mu)
     return fhat * face_len[..., None]
 
@@ -375,12 +380,16 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     if fused is True:
         return _make_advance_chunked(cfg, nt, geometry, initial_conserved,
                                      buffer_rate, gg)
+    if fused == "split" and cfg.riemann != "hlle":
+        raise NotImplementedError(
+            "the round-1 split kernels support hlle only; use the "
+            "chunked kernel (fused=True) or the jnp path for hllc")
     cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
                  cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
                  cfg.density_floor, cfg.gst_suppr_radius ** 2)
     cfg_flux = (cfg.softening_radius, cfg.mach_number, cfg.axisymmetric_cs2,
                 cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
-                cfg.nu, cfg.domain_radius)
+                cfg.nu, cfg.domain_radius, cfg.riemann)
 
     def advance_impl(u0, bodies, dt, plm_theta):
         # plm_theta may be a traced scalar (the in-graph safe-mode retry
@@ -414,9 +423,11 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         if fused:
             from mara3_tpu.kernels import binary_update
             fx = binary_update.fused_fluxes(p0_ex, gx_ex, gy_ex, xf,
-                                            spacing, bodies, 0, cfg_flux)
+                                            spacing, bodies, 0,
+                                            cfg_flux[:8])
             fy = binary_update.fused_fluxes(p0_ey, gy_ey, gx_ey, yf,
-                                            spacing, bodies, 1, cfg_flux)
+                                            spacing, bodies, 1,
+                                            cfg_flux[:8])
         else:
             fx = block_fluxes(0, p0_ex, gx_ex, gy_ex, xf, face_len_x,
                               spacing, bodies, cfg)
@@ -498,7 +509,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                  cfg.density_floor, cfg.gst_suppr_radius ** 2)
     cfg_flux = (cfg.softening_radius, cfg.mach_number, cfg.axisymmetric_cs2,
                 cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
-                cfg.nu, cfg.domain_radius)
+                cfg.nu, cfg.domain_radius, cfg.riemann)
 
     fine0 = {f: jnp.asarray(nt.fine_id[:, f, 0]) for f in range(4)}
     fine1 = {f: jnp.asarray(nt.fine_id[:, f, 1]) for f in range(4)}

@@ -156,8 +156,7 @@ def make_fast_step(sd):
         a = iso2d.max_wavespeed(p0, cs2)
         return jnp.min(spacing / jnp.max(a, axis=(1, 2)))
 
-    @jax.jit
-    def step(s):
+    def step_impl(s):
         if fixed_dt:
             dt = jnp.asarray(rec_dt, s["time"].dtype)
         else:
@@ -187,6 +186,62 @@ def make_fast_step(sd):
                 (iso2d.angular_momentum(s_out["conserved"], xc)
                  if conserve_p else s_out["conserved"][..., 2]) * dA),
         }
+        # everything but the conserved field rides along per step so the
+        # driver can rebuild time-series rows without extra device syncs
+        info.update({k: v for k, v in s_out.items() if k != "conserved"})
         return s_out, info
 
+    jitted = jax.jit(step_impl)
+
+    def step(s):
+        return jitted(s)
+
+    step.traced = step_impl
     return step
+
+
+# packed per-step info layout for the chunked driver loop: one flat row per
+# step so a whole chunk reads back as a SINGLE device->host transfer (every
+# distinct buffer readback is a ~20 ms tunnel RPC on this runtime)
+_INFO_LAYOUT = [
+    ("time", 1), ("iteration", 1), ("dt", 1), ("retried", 1),
+    ("invalid", 1), ("disk_mass", 1), ("disk_angular_momentum", 1),
+    ("mass_accreted_on", 2), ("angular_momentum_accreted_on", 2),
+    ("integrated_torque_on", 2), ("work_done_on", 2),
+    ("mass_ejected", 1), ("angular_momentum_ejected", 1),
+    ("oe_acc", 10), ("oe_grav", 10), ("oe", 10),
+]
+INFO_INDEX = {}
+_off = 0
+for _name, _w in _INFO_LAYOUT:
+    INFO_INDEX[_name] = slice(_off, _off + _w) if _w > 1 else _off
+    _off += _w
+INFO_WIDTH = _off
+
+
+def _pack_info(info):
+    parts = []
+    for name, w in _INFO_LAYOUT:
+        v = jnp.asarray(info[name], jnp.float64).reshape(-1)
+        parts.append(v)
+    return jnp.concatenate(parts)
+
+
+def make_fast_scan(sd):
+    """scan_steps(s, n) -> (s, rows [n, INFO_WIDTH]): n fully-jitted steps
+    as one XLA program with the per-step info packed into one array. One
+    device sync per *chunk* instead of per step; the driver loop replays
+    schedule marking host-side from the packed rows."""
+    from functools import partial
+
+    step = make_fast_step(sd)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_steps(s, n: int):
+        def body(s, _):
+            s1, info = step.traced(s)
+            return s1, _pack_info(info)
+
+        return jax.lax.scan(body, s, length=n)
+
+    return scan_steps

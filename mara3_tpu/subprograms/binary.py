@@ -57,6 +57,9 @@ def create_config_template():
             .item("threaded", 1)
             .item("rk_order", 2)
             .item("reconstruct_method", "plm")
+            # the reference pins hlle (subprog_binary_solver_data.cpp:109);
+            # hllc (physics_iso2d.hpp:704-712) is selectable here
+            .item("riemann", "hlle")
             .item("plm_theta", 1.8)
             .item("source_term_softening", 1.0)
             .item("softening_radius", 0.05)
@@ -206,10 +209,14 @@ def create_solver_data(cfg) -> SolverData:
         nu=cfg.get_double("nu"),
         axisymmetric_cs2=bool(cfg.get_int("axisymmetric_cs2")),
         conserve_linear_p=conserve_linear_p,
-        reconstruct_method=cfg.get_string("reconstruct_method"))
+        reconstruct_method=cfg.get_string("reconstruct_method"),
+        riemann=cfg.get_string("riemann"))
     if scheme.reconstruct_method not in ("plm", "pcm"):
         raise ValueError(f"invalid reconstruct_method "
                          f"'{scheme.reconstruct_method}', must be plm or pcm")
+    if scheme.riemann not in ("hlle", "hllc"):
+        raise ValueError(f"invalid riemann '{scheme.riemann}', "
+                         f"must be hlle or hllc")
     if cfg.get_int("threaded") <= 0:
         raise ValueError("runtime option 'threaded' must be > 0")
 
@@ -667,75 +674,95 @@ def next_state(state: State, sd: SolverData) -> State:
     return State(solution, schedule, state.time_series, cfg)
 
 
-def _fast_sample(s, info, sd):
-    """Time-series row from the fast-step pytree + info scalars, reading
-    back only small buffers (the conserved array stays on device)."""
+def _fast_sample_row(row, IX):
+    """TIME_SERIES_DTYPE row from one packed per-step info row
+    (schemes/binary_step._INFO_LAYOUT)."""
     from mara3_tpu.models import two_body_jax as tbj
-    t = float(s["time"])
-    oe = tbj.unpack_elements(np.asarray(s["oe"]))
+    t = float(row[IX["time"]])
+    oe = tbj.unpack_elements(row[IX["oe"]])
     bstate = two_body.compute_two_body_state(oe, t)
-    g2 = lambda k: tuple(float(v) for v in np.asarray(s[k]))
+    g2 = lambda k: tuple(float(v) for v in row[IX[k]])
     return np.array((
-        t, float(info["disk_mass"]), float(info["disk_angular_momentum"]),
+        t, float(row[IX["disk_mass"]]),
+        float(row[IX["disk_angular_momentum"]]),
         g2("mass_accreted_on"), g2("angular_momentum_accreted_on"),
         g2("integrated_torque_on"), g2("work_done_on"),
-        float(s["mass_ejected"]), float(s["angular_momentum_ejected"]),
-        _full_elements_to_np(tbj.unpack_elements(np.asarray(s["oe_acc"]))),
-        _full_elements_to_np(tbj.unpack_elements(np.asarray(s["oe_grav"]))),
+        float(row[IX["mass_ejected"]]),
+        float(row[IX["angular_momentum_ejected"]]),
+        _full_elements_to_np(tbj.unpack_elements(row[IX["oe_acc"]])),
+        _full_elements_to_np(tbj.unpack_elements(row[IX["oe_grav"]])),
         _full_elements_to_np(oe),
         (bstate.body1.position_x, bstate.body1.position_y),
         (bstate.body2.position_x, bstate.body2.position_y)),
         dtype=TIME_SERIES_DTYPE)
 
 
-def _run_tasks_fast(s, info, schedule, time_series, cfg, sd):
-    """Task runner for the fast path: time-series samples are built from
-    scalars; only checkpoint/diagnostics cadences pull the full state."""
-    from mara3_tpu.schemes import binary_step
-    if schedule.is_due("write_diagnostics") or \
-            schedule.is_due("write_checkpoint"):
-        state = State(binary_step.arrays_to_solution(s, Solution),
-                      schedule, time_series, cfg)
-        state = run_tasks(state, sd)
-        return state.schedule, state.time_series
-    if schedule.is_due("record_time_series"):
-        time_series = time_series + (_fast_sample(s, info, sd),)
-        schedule = schedule.mark_as_completed("record_time_series")
-    return schedule, time_series
-
-
 def _main_fast(cfg, sd: SolverData, state: State) -> int:
-    """Driver loop over the fully-jitted step (schemes/binary_step.py)."""
+    """Driver loop over the fully-jitted step (schemes/binary_step.py),
+    executed in lax.scan chunks: on this runtime every device->host
+    readback is a ~20 ms tunnel RPC, so the loop syncs once per chunk and
+    replays the drift-free schedule marking from the packed per-step info
+    rows. Checkpoints/diagnostics fire at the first chunk boundary after
+    coming due (bounded by the chunk span, << their cadence)."""
     import time as _time
 
     from mara3_tpu.schemes import binary_step
 
-    step = binary_step.make_fast_step(sd)
+    scan_steps = binary_step.make_fast_scan(sd)
+    IX = binary_step.INFO_INDEX
     dtype = jnp.asarray(sd.initial_conserved).dtype
     s = binary_step.solution_to_arrays(state.solution, dtype)
     schedule, ts = state.schedule, state.time_series
     num_zones = s["conserved"].shape[0] * s["conserved"].shape[1] ** 2
-    tfinal = cfg.get_double("tfinal")
+    tfinal_t = cfg.get_double("tfinal") * 2 * math.pi
     intervals = [
         ("write_checkpoint", cfg.get_double("cpi") * 2 * math.pi),
         ("write_diagnostics", cfg.get_double("dfi") * 2 * math.pi),
         ("record_time_series", cfg.get_double("tsi") * 2 * math.pi)]
 
-    while float(s["time"]) / (2 * math.pi) < tfinal:
+    CHUNKS = (256, 64, 16, 4, 1)
+    t_now = float(s["time"])
+    dt_est = None
+
+    while t_now < tfinal_t:
+        if dt_est is None:
+            n = 1          # learn dt (and compile the step) first
+        else:
+            remaining = max(1, int((tfinal_t - t_now) / dt_est) + 1)
+            n = next(c for c in CHUNKS if c <= remaining)
+
         t0 = _time.perf_counter()
-        s, info = step(s)
-        t_now = float(s["time"])           # host readback = timing fence
+        s, rows = scan_steps(s, n)
+        rows = np.asarray(rows)            # the chunk's single device sync
         ms = (_time.perf_counter() - t0) * 1e3
-        if bool(info["retried"]):
-            print("negative density: retried in safe mode (dt/10, theta=0)")
-        if bool(info["invalid"]):
+
+        n_retry = int(rows[:, IX["retried"]].sum())
+        if n_retry:
+            print(f"negative density: {n_retry} step(s) retried in safe "
+                  f"mode (dt/10, theta=0)")
+        if rows[:, IX["invalid"]].any():
             raise NegativeDensityError(
                 "negative density persisted through safe-mode retry")
-        schedule = mark_tasks(schedule, t_now, intervals)
-        schedule, ts = _run_tasks_fast(s, info, schedule, ts, cfg, sd)
-        print(f"[{int(s['iteration']):04d}] "
+
+        for row in rows:
+            schedule = mark_tasks(schedule, float(row[IX["time"]]),
+                                  intervals)
+            if schedule.is_due("record_time_series"):
+                ts = ts + (_fast_sample_row(row, IX),)
+                schedule = schedule.mark_as_completed("record_time_series")
+
+        if schedule.is_due("write_diagnostics") or \
+                schedule.is_due("write_checkpoint"):
+            st = State(binary_step.arrays_to_solution(s, Solution),
+                       schedule, ts, cfg)
+            st = run_tasks(st, sd)
+            schedule, ts = st.schedule, st.time_series
+
+        t_now = float(rows[-1, IX["time"]])
+        dt_est = float(rows[:, IX["dt"]].min())
+        print(f"[{int(rows[-1, IX['iteration']]):04d}] "
               f"orbits={t_now / (2 * math.pi):3.7f} "
-              f"kzps={num_zones / max(ms, 1e-12):3.2f}")
+              f"kzps={n * num_zones / max(ms, 1e-12):3.2f}")
 
     state = State(binary_step.arrays_to_solution(s, Solution),
                   schedule, ts, cfg)

@@ -242,3 +242,41 @@ def test_chunked_advance_fault_flag():
         sd.buffer_rate, fused=False)
     _, _, inv = adv_ref(sol.conserved, bodies, dt, sd.plm_theta)
     assert bool(inv) and bool(invf)
+
+
+def test_chunked_advance_hllc_matches_jnp():
+    """riemann=hllc must thread through both the jnp path and the chunked
+    kernel identically (physics_iso2d.hpp:704-712 in the kernel)."""
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.schemes import binary_scheme
+    from mara3_tpu.models import two_body
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 8, "riemann": "hllc"})
+    sd = B.create_solver_data(cfg)
+    assert sd.cfg_scheme.riemann == "hllc"
+    sol = B.create_solution(cfg, sd)
+    bodies = B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0))
+    dt = sd.recommended_time_step
+
+    adv_ref = binary_scheme.make_advance(
+        sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+        sd.buffer_rate, fused=False)
+    u1, _, _ = adv_ref(sol.conserved, bodies, dt, sd.plm_theta)
+
+    with pltpu.force_tpu_interpret_mode():
+        adv_new = binary_scheme.make_advance(
+            sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
+            sd.buffer_rate, fused=True)
+        u1f, _, _ = adv_new(sol.conserved, bodies, dt, sd.plm_theta)
+    np.testing.assert_allclose(np.asarray(u1f), np.asarray(u1),
+                               rtol=1e-11, atol=1e-20)
+
+    # and the knob actually changes the answer vs hlle
+    import dataclasses
+    adv_hlle = binary_scheme.make_advance(
+        dataclasses.replace(sd.cfg_scheme, riemann="hlle"), sd.nt,
+        sd.geometry, sd.initial_conserved, sd.buffer_rate, fused=False)
+    u1h, _, _ = adv_hlle(sol.conserved, bodies, dt, sd.plm_theta)
+    assert np.abs(np.asarray(u1h) - np.asarray(u1)).max() > 0.0

@@ -140,3 +140,24 @@ def test_hllc_variables_star_state_properties():
     # both equal d* S* on each side of the contact
     np.testing.assert_allclose(f_sigma_l, float(dl * v["sstar"]), rtol=1e-12)
     np.testing.assert_allclose(f_sigma_r, float(dr * v["sstar"]), rtol=1e-12)
+
+
+def test_hllc_resolves_moving_contact_exactly_hlle_does_not():
+    """An isothermal contact (equal pressure and velocity, sigma jump via a
+    cs^2 jump) advects exactly under HLLC — F = F(upwind) — while HLLE
+    smears it. Toro sec 10.6; reference HLLC at physics_iso2d.hpp:704-712."""
+    v = 0.3
+    sig_l, sig_r = 1.0, 4.0
+    cs2_l = 0.4
+    cs2_r = cs2_l * sig_l / sig_r       # pressure equality
+    Pl = jnp.asarray([sig_l, v, 0.2])
+    Pr = jnp.asarray([sig_r, v, 0.2])
+    nhat = (1.0, 0.0)
+
+    exact = iso2d.flux(Pl, nhat, cs2_l)  # upwind (v > 0): pure advection
+    f_hllc = iso2d.riemann_hllc(Pl, Pr, cs2_l, cs2_r, nhat)
+    f_hlle = iso2d.riemann_hlle(Pl, Pr, cs2_l, cs2_r, nhat)
+
+    np.testing.assert_allclose(np.asarray(f_hllc), np.asarray(exact),
+                               rtol=1e-13, atol=1e-15)
+    assert np.abs(np.asarray(f_hlle) - np.asarray(exact)).max() > 1e-3
