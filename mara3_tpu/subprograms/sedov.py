@@ -75,7 +75,14 @@ def config_template():
             .item("explosion_pressure", 1.0)
             .item("explosion_density", 1.0)
             .item("density_index", 0.0)
-            .item("newtonian", 0))
+            .item("newtonian", 0)
+            # reconstruction: pcm is the reference scheme
+            # (subprog_sedov.cpp runs first-order Godunov); plm and weno5
+            # (mathx/weno.py, from the reference's WenoInterpolation.nb
+            # derivation) reconstruct in the computational (log-radius)
+            # coordinate — formally 2nd/5th order on uniform grids
+            .item("reconstruct_method", "pcm")
+            .item("plm_theta", 1.5))
 
 
 def hydro_system(cfg):
@@ -159,14 +166,42 @@ def create_solution(cfg) -> SolutionState:
 # the Godunov step (reference next_solution, subprog_sedov.cpp:395-420)
 # -----------------------------------------------------------------------------
 
-def _extend_bc(P):
-    """Reflecting inner + zero-gradient outer (subprog_sedov.cpp:231-250)."""
-    inner = P[:1] * jnp.array([1.0, -1.0, 1.0, 1.0, 1.0])
-    outer = P[-1:]
+def _extend_bc(P, g: int = 1):
+    """Reflecting inner + zero-gradient outer (subprog_sedov.cpp:231-250),
+    generalized to g guard cells per side for the higher-order stencils."""
+    refl = jnp.array([1.0, -1.0, 1.0, 1.0, 1.0])
+    inner = (P[:g] * refl)[::-1]
+    outer = jnp.repeat(P[-1:], g, axis=0)
     return jnp.concatenate([inner, P, outer], axis=0)
 
 
-def _step(system, u0, vertices, dt):
+def _face_states(P, reconstruct: str, plm_theta: float):
+    """(L, R) states at the n+1 faces. pcm matches the reference's
+    first-order scheme; plm/weno5 reconstruct in the computational
+    coordinate (the grid is uniform in log radius)."""
+    if reconstruct == "weno5":
+        from mara3_tpu.mathx.weno import weno5_faces
+        L, R = weno5_faces(_extend_bc(P, 3), axis=0)
+        # positivity fallback: WENO is not positivity-preserving, so faces
+        # whose reconstructed density or pressure is non-positive revert to
+        # the first-order states (standard practice for blast waves)
+        Pe = _extend_bc(P, 1)
+        L0, R0 = Pe[:-1], Pe[1:]
+        bad = ((L[:, 0] <= 0.0) | (L[:, 4] <= 0.0)
+               | (R[:, 0] <= 0.0) | (R[:, 4] <= 0.0))[:, None]
+        return jnp.where(bad, L0, L), jnp.where(bad, R0, R)
+    if reconstruct == "plm":
+        from mara3_tpu.mathx.plm import plm_gradient
+        Pe = _extend_bc(P, 2)
+        grad = plm_gradient(Pe[:-2], Pe[1:-1], Pe[2:], plm_theta)
+        L = (Pe[1:-1] + 0.5 * grad)[:-1]
+        R = (Pe[1:-1] - 0.5 * grad)[1:]
+        return L, R
+    Pe = _extend_bc(P, 1)
+    return Pe[:-1], Pe[1:]
+
+
+def _step(system, u0, vertices, dt, reconstruct="pcm", plm_theta=1.5):
     dv = cell_volumes(vertices)
     da = face_areas(vertices)
     rc = ops.midpoint_on_axis(vertices)
@@ -175,20 +210,22 @@ def _step(system, u0, vertices, dt):
     s0 = system.spherical_geometry_source_terms_radial(
         P, rc, GAMMA_LAW_INDEX) * dv[:, None]
 
-    Pe = _extend_bc(P)
-    F = system.riemann_hlle(Pe[:-1], Pe[1:], (1.0, 0.0, 0.0), GAMMA_LAW_INDEX)
+    L, R = _face_states(P, reconstruct, plm_theta)
+    F = system.riemann_hlle(L, R, (1.0, 0.0, 0.0), GAMMA_LAW_INDEX)
     l0 = -ops.difference_on_axis(F * da[:, None])
     return u0 + (l0 + s0) * dt
 
 
-@partial(jax.jit, static_argnames=("newtonian", "num_steps"))
-def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int):
+@partial(jax.jit, static_argnames=("newtonian", "num_steps", "reconstruct",
+                                   "plm_theta"))
+def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
+              reconstruct: str = "pcm", plm_theta: float = 1.5):
     """num_steps Godunov steps fused in one compiled loop (no host syncs) —
     the TPU-native replacement for the reference's per-step dispatch."""
     system = euler if newtonian else srhd
 
     def body(_, u):
-        return _step(system, u, vertices, dt)
+        return _step(system, u, vertices, dt, reconstruct, plm_theta)
 
     return jax.lax.fori_loop(0, num_steps, body, u0)
 
@@ -199,9 +236,12 @@ def grid_dt(vertices) -> float:
     return CFL_NUMBER * float(vertices[1] - vertices[0])
 
 
-def next_solution(state: SolutionState, newtonian: bool) -> SolutionState:
+def next_solution(state: SolutionState, newtonian: bool,
+                  reconstruct: str = "pcm",
+                  plm_theta: float = 1.5) -> SolutionState:
     dt = grid_dt(state.vertices)
-    u1 = advance_n(state.conserved, state.vertices, dt, newtonian, 1)
+    u1 = advance_n(state.conserved, state.vertices, dt, newtonian, 1,
+                   reconstruct, plm_theta)
     return replace(state, time=state.time + dt,
                    iteration=state.iteration + 1, conserved=u1)
 
@@ -351,8 +391,10 @@ def run_tasks(state: AppState, system) -> AppState:
 
 
 def next_state(state: AppState, newtonian: bool) -> AppState:
-    solution = next_solution(state.solution_state, newtonian)
     cfg = state.run_config
+    solution = next_solution(state.solution_state, newtonian,
+                             cfg.get_string("reconstruct_method"),
+                             cfg.get_double("plm_theta"))
     schedule = mark_tasks(state.schedule, solution.time, [
         ("write_checkpoint", cfg.get_double("cpi")),
         ("write_diagnostics", cfg.get_double("dfi")),
@@ -366,6 +408,8 @@ def main(argv) -> int:
     cfg = driver.create_run_config(config_template(), argv)
     system = hydro_system(cfg)
     newtonian = cfg.get_int("newtonian") != 0
+    if cfg.get_string("reconstruct_method") not in ("pcm", "plm", "weno5"):
+        raise ValueError("reconstruct_method must be pcm, plm or weno5")
 
     prepare_filesystem(cfg)
     cfg.pretty_print()

@@ -7,6 +7,7 @@ import os
 import h5py
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mara3_tpu.app.config import Config
 from mara3_tpu.subprograms import boilerplate, sedov
@@ -151,3 +152,28 @@ def test_sedov_taylor_similarity_law():
 
     exponent = np.polyfit(np.log(times), np.log(radii), 1)[0]
     np.testing.assert_allclose(exponent, 0.4, atol=0.03)
+
+
+@pytest.mark.parametrize("reconstruct", ["plm", "weno5"])
+def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
+    """reconstruct_method=plm|weno5 selectable from the CLI: the run
+    completes, conserves mass/energy (Euler), and produces a state that
+    differs from the first-order pcm scheme."""
+    d1 = tmp_path / "hi"
+    d2 = tmp_path / "pcm"
+    d1.mkdir(); d2.mkdir()
+    assert _run_sedov(d1, "newtonian=1",
+                      f"reconstruct_method={reconstruct}") == 0
+    assert _run_sedov(d2, "newtonian=1") == 0
+    with h5py.File(d1 / "data" / "chkpt.0002.h5") as f:
+        u_hi = f["solution/conserved"][()]
+    with h5py.File(d2 / "data" / "chkpt.0002.h5") as f:
+        u_lo = f["solution/conserved"][()]
+    assert np.isfinite(u_hi).all()
+    # same conservation
+    np.testing.assert_allclose(u_hi[:, 0].sum(), u_lo[:, 0].sum(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(u_hi[:, 4].sum(), u_lo[:, 4].sum(),
+                               rtol=1e-10)
+    # but a genuinely different (sharper) solution near the blast
+    assert np.abs(u_hi - u_lo).max() > 1e-3

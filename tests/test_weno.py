@@ -50,3 +50,33 @@ def test_vectorized_over_components():
     L, R = weno5_faces(q, axis=0)
     assert L.shape == (15, 2)
     np.testing.assert_allclose(L[:, 1], 2 * L[:, 0], rtol=1e-12)
+
+
+def test_weno5_end_to_end_fifth_order_advection():
+    """Full evolution convergence: periodic linear advection with WENO-5
+    faces + upwind flux + SSP-RK3 (dt ~ dx^(5/3) so time error stays below
+    the spatial error) converges at ~5th order in L1."""
+    def rhs(u, dx):
+        ue = jnp.concatenate([u[-3:], u, u[:3]])
+        L, R = weno5_faces(ue, axis=0)
+        F = L          # advection speed +1: upwind = left state
+        return -(F[1:] - F[:-1]) / dx
+
+    def evolve(n):
+        x = (np.arange(n) + 0.5) / n
+        u = jnp.asarray(np.sin(2 * np.pi * x))
+        dx = 1.0 / n
+        T = 0.5
+        dt = 0.4 * dx ** (5.0 / 3.0)
+        steps = int(np.ceil(T / dt))
+        dt = T / steps
+        for _ in range(steps):
+            u1 = u + dt * rhs(u, dx)
+            u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(u1, dx))
+            u = u / 3.0 + 2.0 / 3.0 * (u2 + dt * rhs(u2, dx))
+        exact = np.sin(2 * np.pi * (x - T))
+        return float(jnp.mean(jnp.abs(u - exact)))
+
+    e1, e2 = evolve(32), evolve(64)
+    order = np.log2(e1 / e2)
+    assert order > 4.5, (e1, e2, order)
