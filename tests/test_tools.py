@@ -74,3 +74,104 @@ def test_copy_latest(tmp_path):
     assert out.returncode == 0, out.stderr
     with h5py.File(dest / "run1.0001.h5") as f:
         assert float(f["x"][()]) == 1.0
+
+
+# -----------------------------------------------------------------------------
+# plotting tools: every mode of plot_binary.py / plot_cloud.py runs against
+# repo-generated outputs (reference tools/plot_binary.py:14-530,
+# plot_cloud.py:14-215 capability surface)
+# -----------------------------------------------------------------------------
+
+import importlib.util
+
+import pytest
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def binary_outputs(tmp_path_factory):
+    from mara3_tpu.subprograms import binary
+    d = tmp_path_factory.mktemp("binary_run")
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert binary.main(["binary", "depth=3", "block_size=8",
+                            "tfinal=0.02", "cpi=0.01", "dfi=0.005",
+                            "tsi=0.002", "outdir=."]) == 0
+    finally:
+        os.chdir(old)
+    return d
+
+
+@pytest.fixture(scope="module")
+def cloud_outputs(tmp_path_factory):
+    from mara3_tpu.subprograms import cloud
+    d = tmp_path_factory.mktemp("cloud_run")
+    old = os.getcwd()
+    os.chdir(d)
+    try:
+        assert cloud.main(["cloud", "nr=32", "tfinal=0.1", "cpi=0.05",
+                           "dfi=0.05", "tsi=0.05", "outdir=."]) == 0
+    finally:
+        os.chdir(old)
+    return d
+
+
+@pytest.mark.parametrize("extra", [
+    [],                                  # sigma field plot
+    ["--with-vel", "--edges"],           # 3-panel with velocity overlays
+    ["--with-vel", "--depth", "1"],
+])
+def test_plot_binary_field_modes(binary_outputs, extra):
+    pb = _load_tool("plot_binary")
+    diag = str(binary_outputs / "diagnostics.0001.h5")
+    pb.main([diag] + extra)
+    assert os.path.exists(diag.replace(".h5", ".png"))
+
+
+@pytest.mark.parametrize("flag,outname", [
+    ("--time-series", "time_series.png"),
+    ("--orbital-elements", "orbital_elements.png"),
+    ("--orbital-elements-live", "orbital_elements_live.png"),
+    ("--specific-torques", "specific_torques.png"),
+    ("--center-of-mass", "cm_position.png"),
+])
+def test_plot_binary_time_series_modes(binary_outputs, flag, outname,
+                                       tmp_path):
+    pb = _load_tool("plot_binary")
+    chk = str(binary_outputs / "chkpt.0002.h5")
+    out = str(tmp_path / outname)
+    pb.main([chk, flag, "--saturation-time", "0.001",
+             "--window-size", "2", "-o", out])
+    assert os.path.exists(out)
+
+
+def test_plot_binary_movie(binary_outputs, tmp_path):
+    pb = _load_tool("plot_binary")
+    frames = [str(binary_outputs / f"diagnostics.000{n}.h5")
+              for n in (0, 1)]
+    out = str(tmp_path / "movie.mp4")
+    pb.main(frames + ["--movie", "-o", out])
+    # mp4 with ffmpeg, else the documented PNG frame fallback
+    assert os.path.exists(out) or \
+        os.path.exists(str(tmp_path / "movie.0000.png"))
+
+
+def test_plot_cloud_fields_and_profiles(cloud_outputs, tmp_path):
+    pc = _load_tool("plot_cloud")
+    diag = str(cloud_outputs / "diagnostics.0001.h5")
+    pc.main([diag])
+    assert os.path.exists(diag.replace(".h5", ".png"))
+    pc.main([diag, "--radial", "--log"])
+    assert os.path.exists(diag.replace(".h5", ".radial.png"))
+    out = str(tmp_path / "cloud.mp4")
+    pc.main([diag, "--movie", "-o", out])
+    assert os.path.exists(out) or \
+        os.path.exists(str(tmp_path / "cloud.0000.png"))
