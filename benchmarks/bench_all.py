@@ -1,0 +1,183 @@
+"""TPU zone-update rates for all five BASELINE.json configs.
+
+1. 1D scalar advection (boilerplate scheme, uniform periodic grid)
+2. Sedov-Taylor blast (sedov, Euler, HLLE, log-radial grid)
+3. Circumbinary disk flagship (binary, iso2d + two-body: the full
+   fully-jitted step — CFL + RK + sources + bookkeeping + retry)
+4. Relativistic jet/cloud (cloud, SRHD + jet nozzle, PLM + RK2)
+5. Tree-based AMR advection (amrsand, quadtree + guard exchange)
+
+Protocol: marginal rate between two fori_loop/step-chain lengths with one
+host readback fence per run (bench.py `_measure` rationale); each config
+reports the best of `repeat` attempts because the shared-tunnel TPU has
+large run-to-run contention noise (BASELINE.md).
+
+Usage: python benchmarks/bench_all.py [configs=advect,sedov,binary,cloud,amrsand]
+       [repeat=3]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _marginal(f, zones, n1, n2, repeat=3):
+    """Best-of-`repeat` marginal zones/s between chain lengths n1 < n2."""
+    np.asarray(jax.tree.leaves(f(n1))[0])
+    np.asarray(jax.tree.leaves(f(n2))[0])
+
+    def once(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree.leaves(f(n))[0])
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(repeat):
+        t1 = min(once(n1) for _ in range(3))
+        t2 = min(once(n2) for _ in range(3))
+        best = min(best, max(t2 - t1, 1e-9) / (n2 - n1))
+    return zones / best, best
+
+
+def bench_advect(repeat):
+    from mara3_tpu.core import ops
+    nx = 1 << 21
+    xv = jnp.linspace(0.0, 1.0, nx + 1, dtype=jnp.float32)
+    dx = 1.0 / nx
+    u0 = jnp.sin(2 * jnp.pi * jnp.arange(nx, dtype=jnp.float32) / nx)
+
+    def step(u):
+        ue = ops.extend_periodic_on_axis(u, 1)
+        return u - (ue[1:nx + 1] - ue[:nx]) * 0.25
+
+    @partial(jax.jit, static_argnames=("n",))
+    def f(n: int):
+        return jax.lax.fori_loop(0, n, lambda _, u: step(u), u0)
+
+    zps, per = _marginal(f, nx, 20, 220, repeat)
+    return dict(config="advect_1d", zones=nx, zps=zps,
+                ms_per_step=per * 1e3)
+
+
+def bench_sedov(repeat):
+    from mara3_tpu.subprograms import sedov
+    cfg = sedov.config_template().create().update(
+        {"nr": 262144, "newtonian": 1})
+    state = sedov.new_solution(cfg)
+    nz = state.conserved.shape[0]
+    dt = sedov.grid_dt(state.vertices)
+
+    def f(n):
+        return sedov.advance_n(state.conserved, state.vertices, dt, True, n)
+
+    zps, per = _marginal(f, nz, 10, 110, repeat)
+    return dict(config="sedov_euler", zones=nz, zps=zps,
+                ms_per_step=per * 1e3)
+
+
+def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+    cfg = B.create_config_template().create().update(
+        {"depth": depth, "block_size": block_size, "rk_order": rk_order})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    scan_steps = binary_step.make_fast_scan(sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    nz = s0["conserved"].shape[0] * s0["conserved"].shape[1] ** 2
+
+    def f(n):
+        s, rows = scan_steps(s0, n)
+        return s["conserved"]
+
+    zps, per = _marginal(f, nz, 5, 45, repeat)
+    return dict(config=f"binary_d{depth}b{block_size}_rk{rk_order}",
+                zones=nz, zps=zps, ms_per_step=per * 1e3)
+
+
+def bench_cloud(repeat):
+    from mara3_tpu.subprograms import cloud
+    cfg = cloud.config_template().create().update({"nr": 1024})
+    units = cloud.make_reference_units(cfg)
+    state = cloud.new_solution(cfg)
+    nz = state.conserved.shape[0] * state.conserved.shape[1]
+    jet = cloud.make_jet_nozzle_model(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dr_min = float(state.radial_vertices[1] - state.radial_vertices[0])
+    dt = dr_min * cfg.get_double("cfl_number")
+    rv, qv = state.radial_vertices, state.polar_vertices
+    theta = cfg.get_double("plm_theta")
+    tf = cfg.get_double("temperature_floor")
+
+    @partial(jax.jit, static_argnames=("n",))
+    def f(n: int):
+        def body(i, carry):
+            u, t = carry
+            u1 = cloud._advance_rk(u, t, rv, qv, jet_static, dt, theta,
+                                   1, tf, 2)
+            return u1, t + dt
+        u, _ = jax.lax.fori_loop(0, n, body,
+                                 (state.conserved, state.time))
+        return u
+
+    zps, per = _marginal(f, nz, 5, 45, repeat)
+    return dict(config="cloud_srhd_1024", zones=nz, zps=zps,
+                ms_per_step=per * 1e3)
+
+
+def bench_amrsand(repeat):
+    from mara3_tpu.mesh import block_layout, tree
+    from mara3_tpu.subprograms import amrsand
+    cfg = amrsand.config_template().create().update(
+        {"depth": 7, "block_size": 64})
+    state = amrsand.new_solution(cfg)
+    nt = block_layout.build_neighbor_table(state.leaves)
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves,
+                                            cfg.get_int("block_size")),
+                      jnp.float32)
+    u0 = jnp.asarray(state.conserved, jnp.float32)
+    bs = cfg.get_int("block_size")
+    depth = tree.tree_depth(state.leaves)
+    dt = 2.0 / bs / (1 << depth)
+    nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
+                 nt.fine_id)
+    nz = u0.shape[0] * bs * bs
+
+    @partial(jax.jit, static_argnames=("n",))
+    def f(n: int):
+        return jax.lax.fori_loop(
+            0, n, lambda _, u: amrsand._advance(u, dxb, nt_arrays, dt), u0)
+
+    zps, per = _marginal(f, nz, 10, 110, repeat)
+    return dict(config=f"amrsand_d{depth}b{bs}", zones=nz, zps=zps,
+                ms_per_step=per * 1e3)
+
+
+BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
+               cloud=bench_cloud, amrsand=bench_amrsand)
+
+
+def main():
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    names = args.get("configs", "advect,sedov,binary,cloud,amrsand")
+    repeat = int(args.get("repeat", 3))
+    for name in names.split(","):
+        try:
+            out = BENCHES[name](repeat)
+            print(json.dumps(out), flush=True)
+        except Exception as e:
+            print(json.dumps({"config": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -171,3 +171,22 @@ def make_momentum(v):      return make_quantity(v, 1, 1, -1)
 def make_torque(v):        return make_quantity(v, 2, 1, -2)
 def make_angmom(v):        return make_quantity(v, 2, 1, -1)
 def make_dimensional(v, C, G, S): return make_quantity(v, C, G, S)
+
+
+def require_dims(q: Quantity, C, G, S, what: str = "quantity") -> Any:
+    """Trace-time dimension check at an API boundary: returns the raw value
+    of `q` after verifying its exponents (the analog of the reference's
+    compile-time signature match, core_dimensional.hpp:108-124). Plain
+    numbers/arrays pass as dimensionless only when (C,G,S) == 0."""
+    want = (_fr(C), _fr(G), _fr(S))
+    if not isinstance(q, Quantity):
+        if want == (0, 0, 0):
+            return q
+        raise ValueError(
+            f"{what} must carry units L^{want[0]} M^{want[1]} T^{want[2]}; "
+            f"got a bare value")
+    if q.dims != want:
+        raise ValueError(
+            f"{what} has units {q.unit_string()}, expected "
+            f"L^{want[0]} M^{want[1]} T^{want[2]}")
+    return q.value

@@ -251,3 +251,33 @@ def eigensystem(P, gamma_law_index):
     return (eigenvalues(P, gamma_law_index),
             right_eigenvectors(P, gamma_law_index),
             left_eigenvectors(P, gamma_law_index))
+
+
+# -----------------------------------------------------------------------------
+# unit-checked API boundary (reference physics_euler.hpp:46-48 tags the
+# conserved state with unit_mass_density etc.; trace-time checks here)
+# -----------------------------------------------------------------------------
+
+def primitive_from_quantities(mass_density, velocity_1, velocity_2,
+                              velocity_3, gas_pressure):
+    """P from tagged quantities: rho [M/L^3], v [L/T], p [M/L/T^2]."""
+    from mara3_tpu.core.dimensional import require_dims
+    rho = require_dims(mass_density, -3, 1, 0, "mass_density")
+    v1 = require_dims(velocity_1, 1, 0, -1, "velocity_1")
+    v2 = require_dims(velocity_2, 1, 0, -1, "velocity_2")
+    v3 = require_dims(velocity_3, 1, 0, -1, "velocity_3")
+    p = require_dims(gas_pressure, -1, 1, -2, "gas_pressure")
+    return jnp.stack(jnp.broadcast_arrays(rho, v1, v2, v3, p), axis=-1)
+
+
+def conserved_quantities(U):
+    """Tagged components: mass density, momentum densities, energy
+    density (physics_euler.hpp:46-48)."""
+    from mara3_tpu.core.dimensional import make_quantity
+    return {
+        "mass_density": make_quantity(U[..., 0], -3, 1, 0),
+        "momentum_density_1": make_quantity(U[..., 1], -2, 1, -1),
+        "momentum_density_2": make_quantity(U[..., 2], -2, 1, -1),
+        "momentum_density_3": make_quantity(U[..., 3], -2, 1, -1),
+        "energy_density": make_quantity(U[..., 4], -1, 1, -2),
+    }

@@ -253,3 +253,41 @@ def riemann_hllc(Pl, Pr, cs2_l, cs2_r, nhat):
     return jnp.where(slp >= 0.0, Fl,
            jnp.where(ssp >= 0.0, Fl_star,
            jnp.where(srp >= 0.0, Fr_star, Fr)))
+
+
+# -----------------------------------------------------------------------------
+# unit-checked API boundary (reference physics_iso2d.hpp:58-97 tags every
+# component: sigma [M/L^2], momenta [M/L/T], angular momentum [M/T]; here the
+# exponent checks run at trace time and vanish under jit — see
+# core/dimensional.py)
+# -----------------------------------------------------------------------------
+
+def primitive_from_quantities(sigma, velocity_x, velocity_y):
+    """P from tagged quantities: sigma [M/L^2], velocities [L/T]."""
+    from mara3_tpu.core.dimensional import require_dims
+    s = require_dims(sigma, -2, 1, 0, "sigma")
+    vx = require_dims(velocity_x, 1, 0, -1, "velocity_x")
+    vy = require_dims(velocity_y, 1, 0, -1, "velocity_y")
+    return jnp.stack(jnp.broadcast_arrays(s, vx, vy), axis=-1)
+
+
+def conserved_quantities(U):
+    """Tagged components of a linear-momentum conserved state:
+    sigma [M/L^2], momenta per area [M/L/T]."""
+    from mara3_tpu.core.dimensional import make_quantity
+    return {
+        "sigma": make_quantity(U[..., 0], -2, 1, 0),
+        "momentum_x_per_area": make_quantity(U[..., 1], -1, 1, -1),
+        "momentum_y_per_area": make_quantity(U[..., 2], -1, 1, -1),
+    }
+
+
+def conserved_angmom_quantities(Q):
+    """Tagged components of the angular-momentum formulation: sigma
+    [M/L^2], s_r [M/T] (= sigma x.v), l_z per area [M/T]."""
+    from mara3_tpu.core.dimensional import make_quantity
+    return {
+        "sigma": make_quantity(Q[..., 0], -2, 1, 0),
+        "radial_momentum_per_area": make_quantity(Q[..., 1], 0, 1, -1),
+        "angular_momentum_per_area": make_quantity(Q[..., 2], 0, 1, -1),
+    }

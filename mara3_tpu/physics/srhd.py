@@ -246,3 +246,19 @@ def riemann_hlle(Pl, Pr, nhat, gamma_law_index):
     ap = jnp.maximum(0.0, jnp.maximum(alp, arp))[..., None]
     am = jnp.minimum(0.0, jnp.minimum(alm, arm))[..., None]
     return (Fl * ap - Fr * am - (Ul - Ur) * ap * am) / (ap - am)
+
+
+# -----------------------------------------------------------------------------
+# unit-checked API boundary: rho [M/L^3], gamma-beta dimensionless (c = 1),
+# p [M/L/T^2] (reference physics_srhd.hpp:71-97)
+# -----------------------------------------------------------------------------
+
+def primitive_from_quantities(mass_density, gamma_beta_1, gamma_beta_2,
+                              gamma_beta_3, gas_pressure):
+    from mara3_tpu.core.dimensional import require_dims
+    rho = require_dims(mass_density, -3, 1, 0, "mass_density")
+    u1 = require_dims(gamma_beta_1, 0, 0, 0, "gamma_beta_1")
+    u2 = require_dims(gamma_beta_2, 0, 0, 0, "gamma_beta_2")
+    u3 = require_dims(gamma_beta_3, 0, 0, 0, "gamma_beta_3")
+    p = require_dims(gas_pressure, -1, 1, -2, "gas_pressure")
+    return jnp.stack(jnp.broadcast_arrays(rho, u1, u2, u3, p), axis=-1)

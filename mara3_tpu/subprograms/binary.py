@@ -116,7 +116,13 @@ def disk_profile(cfg, xy):
     vr = -mdot / (sigma * 2 * jnp.pi * r) * (r > 2.0)
     vx = vr * (x / r) + vp * (-y / r)
     vy = vr * (y / r) + vp * (x / r)
-    return jnp.stack([sigma, vx, vy], axis=-1)
+    # unit-checked construction at the physics boundary: sigma carries
+    # the surface-density tag, velocities the velocity tag
+    # (core/dimensional.py; reference physics_iso2d.hpp:58-77)
+    from mara3_tpu.core import dimensional as dim
+    return iso2d.primitive_from_quantities(
+        dim.make_quantity(sigma, -2, 1, 0),
+        dim.make_velocity(vx), dim.make_velocity(vy))
 
 
 # -----------------------------------------------------------------------------

@@ -101,21 +101,46 @@ def make_jet_nozzle_model(cfg) -> JetNozzle:
 
 @dataclass(frozen=True)
 class UnitSystem:
-    """CGS reference units (subprog_cloud.cpp:177-195)."""
+    """CGS reference units (subprog_cloud.cpp:177-195). The derived units
+    are built by Quantity algebra (core/dimensional.py) so their exponents
+    are machine-checked; `.value`-free float properties keep the hot-path
+    API unchanged."""
     length: float = 1.0   # cm
     mass: float = 1.0     # g
     time: float = 1.0     # s
 
+    def quantities(self):
+        from mara3_tpu.core import dimensional as dim
+        L = dim.make_length(self.length)
+        M = dim.make_mass(self.mass)
+        T = dim.make_time(self.time)
+        c = dim.make_velocity(LIGHT_SPEED_CGS)
+        return dict(length=L, mass=M, time=T, velocity=c,
+                    energy=M * c * c,
+                    mass_density=M / (L * L * L),
+                    energy_density=M * c * c / (L * L * L),
+                    power=M * c * c / T)
+
     @property
     def velocity(self): return LIGHT_SPEED_CGS
     @property
-    def energy(self): return self.mass * self.velocity ** 2
+    def energy(self):
+        from mara3_tpu.core.dimensional import require_dims
+        return require_dims(self.quantities()["energy"], 2, 1, -2, "energy")
     @property
-    def mass_density(self): return self.mass / self.length ** 3
+    def mass_density(self):
+        from mara3_tpu.core.dimensional import require_dims
+        return require_dims(self.quantities()["mass_density"], -3, 1, 0,
+                            "mass_density")
     @property
-    def energy_density(self): return self.energy / self.length ** 3
+    def energy_density(self):
+        from mara3_tpu.core.dimensional import require_dims
+        return require_dims(self.quantities()["energy_density"], -1, 1, -2,
+                            "energy_density")
     @property
-    def power(self): return self.energy / self.time
+    def power(self):
+        from mara3_tpu.core.dimensional import require_dims
+        return require_dims(self.quantities()["power"], 2, 1, -3, "power")
 
 
 def make_reference_units(cfg) -> UnitSystem:
@@ -174,16 +199,28 @@ def new_solution(cfg) -> Solution:
     rc = ops.midpoint_on_axis(rv)
     dv = cell_volumes(rv, qv)
 
+    # the envelope model works in CGS; construction goes through the
+    # unit-checked physics boundary: each quantity is tagged, divided by
+    # the matching reference unit, and verified dimensionless at trace time
+    from mara3_tpu.core import dimensional as dim
+    uq = units.quantities()
     r_cm = rc * units.length
     temperature = 1e-6
-    density = envelope.density_at(r_cm, jet_delay_time) / units.mass_density
+    density_cgs = dim.make_mass_density(
+        envelope.density_at(r_cm, jet_delay_time))
+    density = dim.require_dims(density_cgs / uq["mass_density"], 0, 0, 0,
+                               "code density")
     gamma_beta = envelope.gamma_beta_at(r_cm, jet_delay_time)
 
     nq = qv.shape[0] - 1
     rho = jnp.broadcast_to(density[:, None], (rc.shape[0], nq))
     ur = jnp.broadcast_to(gamma_beta[:, None], (rc.shape[0], nq))
     z = jnp.zeros_like(rho)
-    P = jnp.stack([rho, ur, z, z, rho * temperature], axis=-1)
+    # code values keep their unit *type* tags through the constructor,
+    # as the reference's unit_mass_density etc. do (physics_srhd.hpp:71-97)
+    P = srhd.primitive_from_quantities(
+        dim.make_mass_density(rho), ur, z, z,
+        dim.make_quantity(rho * temperature, -1, 1, -2))
     U = srhd.to_conserved_density(P, GAMMA_LAW_INDEX) * dv[..., None]
     return Solution(0.0, 0, rv, qv, U)
 

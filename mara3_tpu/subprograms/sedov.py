@@ -134,7 +134,17 @@ def new_solution(cfg) -> SolutionState:
     rho = jnp.where(rc < 1.0, explosion_density, ambient)
     pre = jnp.where(rc < 1.0, explosion_pressure, ambient * temperature)
     zeros = jnp.zeros_like(rc)
-    P = jnp.stack([rho, zeros, zeros, zeros, pre], axis=-1)
+    # unit-checked construction (core/dimensional.py): Euler velocities are
+    # [L/T]; SRHD gamma-beta is dimensionless (c = 1)
+    from mara3_tpu.core import dimensional as dim
+    rho_q = dim.make_mass_density(rho)
+    pre_q = dim.make_quantity(pre, -1, 1, -2)
+    if system is euler:
+        vz = dim.make_velocity(zeros)
+        P = euler.primitive_from_quantities(rho_q, vz, vz, vz, pre_q)
+    else:
+        P = srhd.primitive_from_quantities(rho_q, zeros, zeros, zeros,
+                                           pre_q)
     U = system.to_conserved_density(P, GAMMA_LAW_INDEX) * dv[:, None]
     return SolutionState(0.0, 0, vertices, U)
 
