@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pick_chunk(num_blocks: int, block_size: int, budget_bytes=5_000_000,
+def pick_chunk(num_blocks: int, block_size: int, budget_bytes=6_000_000,
                itemsize=4):
     """Blocks per grid step: the largest divisor of B whose double-buffered
     working set (~36 floats/cell live in VMEM, x2 for pipelining) fits the

@@ -15,13 +15,23 @@ import jax
 
 
 class Session:
-    """RAII MPI_Init/Finalize analog (reference core_mpi.hpp:87-98). On a
-    single-process run this is a no-op; in a multi-host launch it calls
-    jax.distributed.initialize with env-provided coordinator settings."""
+    """RAII MPI_Init/Finalize analog (reference core_mpi.hpp:87-98).
+
+    Must run before any backend use: jax.distributed.initialize has to
+    happen before the first jax.devices()/process_count() call, so this
+    decides from its arguments and the environment alone (coordinator
+    settings may come from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, the jax.distributed auto-detection envs). On a plain
+    single-process run it is a no-op, like MPI_Init under one rank."""
 
     def __init__(self, **kwargs):
+        import os
+
         self._initialized_here = False
-        if jax.process_count() == 1 and kwargs:
+        want = bool(kwargs) or (
+            "JAX_COORDINATOR_ADDRESS" in os.environ
+            and "JAX_NUM_PROCESSES" in os.environ)
+        if want:
             jax.distributed.initialize(**kwargs)
             self._initialized_here = True
 
@@ -56,8 +66,14 @@ def printf_master(fmt: str, *args):
 
 
 def barrier():
-    """Host-level barrier: a tiny psum across all devices, blocked on.
-    (reference Communicator::barrier, core_mpi.hpp:493)."""
+    """Host-level barrier (reference Communicator::barrier,
+    core_mpi.hpp:493). Multi-process: a true cross-host sync over all
+    global devices; single-process: a tiny blocked psum across the local
+    devices."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mara3_tpu.comm.barrier")
+        return
     import jax.numpy as jnp
     jax.block_until_ready(
         jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(

@@ -1,6 +1,8 @@
 """Distribution-layer tests on the 8-device virtual CPU mesh (the
 multi-device coverage the reference lacks entirely, SURVEY.md §4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +216,49 @@ def test_collectives_scatter_and_all_to_all():
     got = np.asarray(swapped).reshape(4, 4, 2)
     want = np.arange(4 * 4 * 2.0).reshape(4, 4, 2).transpose(1, 0, 2)
     np.testing.assert_allclose(got, want)
+
+
+def test_two_process_distributed_session(tmp_path):
+    """Spawn 2 CPU processes running jax.distributed via comm.Session:
+    printf_master, cross-host barrier, global psum, ppermute halo step,
+    per-host sharded checkpoint write (reference surface:
+    subprog_boilerplate.cpp:268-276 + subprog_partdom.cpp:128-135)."""
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(r), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo) for r in (0, 1)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    # master-only printing
+    assert "distributed worker OK" in outs[0]
+    assert "distributed worker OK" not in outs[1]
+
+    # the merged shards reconstruct one advection step of arange(64)
+    import h5py
+    import numpy as np
+    u = np.arange(64, dtype=np.float64)
+    ue = np.concatenate([u[-1:], u])
+    expect = u - (ue[1:] - ue[:-1]) * 0.25
+    got = np.full(64, np.nan)
+    for r in (0, 1):
+        with h5py.File(tmp_path / f"shard.{r}.h5") as f:
+            for g in f.values():
+                if isinstance(g, h5py.Group):
+                    start = int(g["start"][()])
+                    d = g["data"][()]
+                    got[start:start + len(d)] = d
+    np.testing.assert_allclose(got, expect, rtol=1e-14)
