@@ -28,14 +28,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _scalarize(f):
+    """Wrap f so the chain returns ONE scalar: the readback fence must be
+    tiny — a multi-MB device->host transfer through the tunnel costs
+    seconds and its jitter would swamp the marginal."""
+    def g(n):
+        return jnp.sum(jax.tree.leaves(f(n))[0])
+    return g
+
+
 def _marginal(f, zones, n1, n2, repeat=3):
     """Best-of-`repeat` marginal zones/s between chain lengths n1 < n2."""
-    np.asarray(jax.tree.leaves(f(n1))[0])
-    np.asarray(jax.tree.leaves(f(n2))[0])
+    g = _scalarize(f)
+    assert np.isfinite(float(g(n1))), "NaN in benchmark state"
+    float(g(n2))
 
     def once(n):
         t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(f(n))[0])
+        float(g(n))
         return time.perf_counter() - t0
 
     best = float("inf")
@@ -61,7 +71,7 @@ def bench_advect(repeat):
     def f(n: int):
         return jax.lax.fori_loop(0, n, lambda _, u: step(u), u0)
 
-    zps, per = _marginal(f, nx, 20, 220, repeat)
+    zps, per = _marginal(f, nx, 50, 1050, repeat)
     return dict(config="advect_1d", zones=nx, zps=zps,
                 ms_per_step=per * 1e3)
 
@@ -92,7 +102,7 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
     scan_steps = binary_step.make_fast_scan(sd)
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
-    nz = s0["conserved"].shape[0] * s0["conserved"].shape[1] ** 2
+    nz = s0["conserved"].shape[0] * s0["conserved"].shape[2] * s0["conserved"].shape[3]
 
     def f(n):
         s, rows = scan_steps(s0, n)

@@ -96,7 +96,7 @@ def bench_fast_step(cfg_updates, rk_order=1, n1=5, n2=45):
     step = binary_step.make_fast_step(sd)
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
-    nz = s0["conserved"].shape[0] * s0["conserved"].shape[1] ** 2
+    nz = s0["conserved"].shape[0] * s0["conserved"].shape[2] * s0["conserved"].shape[3]
 
     def run(n):
         s = s0

@@ -502,6 +502,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     bmask = jnp.asarray(
         np.pad(np.ones(B), (0, pad)), dtype).reshape(Bp, 1, 1)
     xc_j = jnp.asarray(xc, dtype)
+    xcT_j = jnp.transpose(xc_j, (0, 3, 1, 2))
     sp_j = jnp.asarray(spacing, dtype)
 
     cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
@@ -516,33 +517,46 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     fmask = {f: jnp.asarray(nt.case[:, f] == 2, dtype)[:, None, None]
              for f in range(4)}
 
-    def advance_impl(u0, bodies, dt, plm_theta):
-        u0 = u0.astype(dtype)
+    def advance_soa(uT, bodies, dt, plm_theta):
+        """Component-first advance [B, C, bs, bs] -> [B, C, bs, bs]: the
+        whole hot path stays SoA so no minor-axis relayout transposes sit
+        at the kernel boundary (measured ~1 ms each at flagship sizes)."""
+        uT = uT.astype(dtype)
         if cfg.conserve_linear_p:
-            p0 = iso2d.recover_primitive(u0)
+            sig = uT[:, :1]
+            pT = jnp.concatenate([sig, uT[:, 1:] / sig], axis=1)
         else:
-            p0 = iso2d.recover_primitive_angmom(u0, xc_j)
+            sig = uT[:, :1]
+            sr = uT[:, 1] / uT[:, 0]
+            lz = uT[:, 2] / uT[:, 0]
+            x0, x1 = xcT_j[:, 0], xcT_j[:, 1]
+            r2 = x0 * x0 + x1 * x1
+            pT = jnp.concatenate(
+                [sig, ((sr * x0 - lz * x1) / r2)[:, None],
+                 ((sr * x1 + lz * x0) / r2)[:, None]], axis=1)
 
-        p0_ex = block_layout.extend_blocks_fast(p0, gg, axis=0)
-        p0_ey = block_layout.extend_blocks_fast(p0, gg, axis=1)
+        pexT = block_layout.extend_blocks_fast_soa(pT, gg, axis=0)
+        peyT = block_layout.extend_blocks_fast_soa(pT, gg, axis=1)
 
         if cfg.reconstruct_method == "plm":
             sp4 = sp_j[:, None, None, None]
-            gx = plm_gradient(p0_ex[:, :-2], p0_ex[:, 1:-1], p0_ex[:, 2:],
-                              plm_theta) / sp4
-            gy = plm_gradient(p0_ey[:, :, :-2], p0_ey[:, :, 1:-1],
-                              p0_ey[:, :, 2:], plm_theta) / sp4
+            gxT = plm_gradient(pexT[:, :, :-2], pexT[:, :, 1:-1],
+                               pexT[:, :, 2:], plm_theta) / sp4
+            gyT = plm_gradient(peyT[:, :, :, :-2], peyT[:, :, :, 1:-1],
+                               peyT[:, :, :, 2:], plm_theta) / sp4
         else:
-            gx = jnp.zeros_like(p0)
-            gy = jnp.zeros_like(p0)
+            gxT = jnp.zeros_like(pT)
+            gyT = jnp.zeros_like(pT)
 
-        G = jnp.concatenate([gx, gy], axis=-1)
-        G_ex = block_layout.extend_blocks_fast(G, gg, axis=0)
-        G_ey = block_layout.extend_blocks_fast(G, gg, axis=1)
+        GT = jnp.concatenate([gxT, gyT], axis=1)
+        GexT = block_layout.extend_blocks_fast_soa(GT, gg, axis=0)
+        GeyT = block_layout.extend_blocks_fast_soa(GT, gg, axis=1)
 
+        padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+                          if pad else a)
         u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
             binary_advance.fused_advance_core(
-                padT(u0), padT(p0_ex), padT(p0_ey), padT(G_ex), padT(G_ey),
+                padB(uT), padB(pexT), padB(peyT), padB(GexT), padB(GeyT),
                 xcT, xfT, yfT, initT, brP, spP, bmask, dt, bodies, K,
                 cfg_tuple, cfg_flux, interpret=interpret)
 
@@ -568,7 +582,6 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         d = (restricted(fylo, fine0[3], fine1[3]) - fyhi) * dtdA * fmask[3]
         u1T = u1T.at[:, :, :, -1].add(-d)
 
-        u1 = jnp.transpose(u1T, (0, 2, 3, 1))
         invalid = jnp.any(jnp.logical_or(u1T[:, 0] < 0.0,
                                          jnp.isnan(u1T[:, 0])))
 
@@ -585,7 +598,13 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             "angular_momentum_ejected": tt[8, 0],
         }
         totals["work_done_on"] = _work_done(totals, bodies)
-        return u1, totals, invalid
+        return u1T, totals, invalid
+
+    def advance_impl(u0, bodies, dt, plm_theta):
+        u1T, totals, invalid = advance_soa(
+            jnp.transpose(u0.astype(dtype), (0, 3, 1, 2)), bodies, dt,
+            plm_theta)
+        return jnp.transpose(u1T, (0, 2, 3, 1)), totals, invalid
 
     jitted = jax.jit(advance_impl)
 
@@ -593,6 +612,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         return jitted(u0, bodies, dt, plm_theta)
 
     advance.traced = advance_impl
+    advance.traced_soa = advance_soa
     return advance
 
 

@@ -27,11 +27,13 @@ from mara3_tpu.schemes.binary_scheme import cs2_at_position
 
 
 def solution_to_arrays(sol, dtype):
+    """State pytree for the fast step; `conserved` rides component-first
+    [B, C, bs, bs] so the hot path never relayouts (binary_scheme SoA)."""
     f = lambda v: jnp.asarray(v, dtype)
     return {
         "time": f(sol.time),
         "iteration": jnp.asarray(sol.iteration, jnp.int32),
-        "conserved": f(sol.conserved),
+        "conserved": jnp.transpose(f(sol.conserved), (0, 3, 1, 2)),
         "mass_accreted_on": f(sol.mass_accreted_on),
         "angular_momentum_accreted_on": f(sol.angular_momentum_accreted_on),
         "integrated_torque_on": f(sol.integrated_torque_on),
@@ -49,7 +51,7 @@ def arrays_to_solution(s, sol_cls):
     return sol_cls(
         time=float(s["time"]),
         iteration=int(s["iteration"]),
-        conserved=s["conserved"],
+        conserved=jnp.transpose(s["conserved"], (0, 2, 3, 1)),
         mass_accreted_on=t2(s["mass_accreted_on"]),
         angular_momentum_accreted_on=t2(s["angular_momentum_accreted_on"]),
         integrated_torque_on=t2(s["integrated_torque_on"]),
@@ -65,9 +67,16 @@ def make_fast_step(sd):
     """step(arrays) -> (arrays, info) where info = dict(dt, retried,
     invalid, disk_mass, disk_angular_momentum) of scalars. `sd` is the
     SolverData from subprograms/binary.py."""
-    adv = sd.advance.traced
+    adv = getattr(sd.advance, "traced_soa", None)
+    soa = adv is not None
+    if not soa:
+        # jnp/split advance paths take trailing-component states
+        trailing_adv = sd.advance.traced
+        adv = lambda uT, b, dt, th: _wrap_trailing(trailing_adv, uT, b,
+                                                   dt, th)
     cfg = sd.cfg_scheme
     xc = jnp.asarray(sd.geometry[0])
+    xcT = jnp.transpose(xc, (0, 3, 1, 2))
     dA = jnp.asarray(sd.geometry[1])
     spacing = jnp.asarray(sd.geometry[2])
     cfl = sd.cfl_number
@@ -145,15 +154,21 @@ def make_fast_step(sd):
 
         return jax.tree.map(avg, s, s2), jnp.logical_or(i1, i2)
 
-    def maximum_timestep(u, bodies):
+    def maximum_timestep(uT, bodies):
         """Global min over blocks of spacing / max wavespeed
-        (subprog_binary_scheme.cpp:1107-1126)."""
+        (subprog_binary_scheme.cpp:1107-1126), on the SoA state."""
+        sig = uT[:, 0]
         if conserve_p:
-            p0 = iso2d.recover_primitive(u)
+            vx, vy = uT[:, 1] / sig, uT[:, 2] / sig
         else:
-            p0 = iso2d.recover_primitive_angmom(u, xc)
-        cs2 = cs2_at_position(xc, bodies, cfg)
-        a = iso2d.max_wavespeed(p0, cs2)
+            sr, lz = uT[:, 1] / sig, uT[:, 2] / sig
+            x0, x1 = xcT[:, 0], xcT[:, 1]
+            r2 = x0 * x0 + x1 * x1
+            vx = (sr * x0 - lz * x1) / r2
+            vy = (sr * x1 + lz * x0) / r2
+        cs2 = cs2_at_position(xc, bodies, cfg)   # [B, bs, bs]
+        cs = jnp.sqrt(cs2)
+        a = jnp.maximum(jnp.abs(vx) + cs, jnp.abs(vy) + cs)
         return jnp.min(spacing / jnp.max(a, axis=(1, 2)))
 
     def step_impl(s):
@@ -181,10 +196,11 @@ def make_fast_step(sd):
             "dt": dt_used,
             "retried": inv,
             "invalid": invalid,
-            "disk_mass": jnp.sum(s_out["conserved"][..., 0] * dA),
+            "disk_mass": jnp.sum(s_out["conserved"][:, 0] * dA),
             "disk_angular_momentum": jnp.sum(
-                (iso2d.angular_momentum(s_out["conserved"], xc)
-                 if conserve_p else s_out["conserved"][..., 2]) * dA),
+                (xcT[:, 0] * s_out["conserved"][:, 2]
+                 - xcT[:, 1] * s_out["conserved"][:, 1]
+                 if conserve_p else s_out["conserved"][:, 2]) * dA),
         }
         # everything but the conserved field rides along per step so the
         # driver can rebuild time-series rows without extra device syncs
@@ -245,3 +261,11 @@ def make_fast_scan(sd):
         return jax.lax.scan(body, s, length=n)
 
     return scan_steps
+
+
+def _wrap_trailing(trailing_adv, uT, bodies, dt, theta):
+    """Adapt a trailing-component advance to the SoA state (used when the
+    solver was built with the jnp or split paths)."""
+    u1, totals, invalid = trailing_adv(
+        jnp.transpose(uT, (0, 2, 3, 1)), bodies, dt, theta)
+    return jnp.transpose(u1, (0, 3, 1, 2)), totals, invalid

@@ -719,7 +719,8 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
     dtype = jnp.asarray(sd.initial_conserved).dtype
     s = binary_step.solution_to_arrays(state.solution, dtype)
     schedule, ts = state.schedule, state.time_series
-    num_zones = s["conserved"].shape[0] * s["conserved"].shape[1] ** 2
+    num_zones = (s["conserved"].shape[0] * s["conserved"].shape[2]
+                 * s["conserved"].shape[3])
     tfinal_t = cfg.get_double("tfinal") * 2 * math.pi
     intervals = [
         ("write_checkpoint", cfg.get_double("cpi") * 2 * math.pi),
