@@ -33,12 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pick_chunk(num_blocks: int, block_size: int, budget_bytes=6_000_000,
+def pick_chunk(num_blocks: int, block_size: int, budget_bytes=8_000_000,
                itemsize=4):
     """Blocks per grid step: the largest divisor of B whose double-buffered
-    working set (~36 floats/cell live in VMEM, x2 for pipelining) fits the
+    working set (~26 floats/cell live in VMEM, x2 for pipelining) fits the
     VMEM budget; B is padded up when it has no usable divisor."""
-    per_block = 2 * 36 * block_size * block_size * itemsize
+    per_block = 2 * 26 * block_size * block_size * itemsize
     kmax = max(1, budget_bytes // per_block)
     for k in range(min(kmax, num_blocks), 0, -1):
         if num_blocks % k == 0:
@@ -174,7 +174,7 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
     return fhat * sp
 
 
-def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
+def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
             xc_ref, xf_ref, yf_ref, init_ref, br_ref, sp_ref, mask_ref,
             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
             *, cfg_tuple, cfg_flux):
@@ -183,10 +183,21 @@ def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
 
     dt = dt_ref[0, 0]
     u0 = u0_ref[...]
-    pex = pex_ref[...]           # [K, C, bs+2, bs]
-    pey = pey_ref[...]           # [K, C, bs, bs+2]
-    Gex = Gex_ref[...]           # [K, 2C, bs+2, bs]  (gx | gy)
-    Gey = Gey_ref[...]
+    # guard-extended arrays are assembled HERE from interior + one packed
+    # strip tensor [K, 4 faces, 3C, bs] (rows: x-lo, x-hi, y-lo, y-hi;
+    # comps: p | gx | gy): pre-concatenated extended arrays at the pallas
+    # boundary cost a relayout/copy tax, and separate strip operands cost
+    # one small latency-bound DMA each per grid step
+    p = p_ref[...]               # [K, C, bs, bs]
+    G = G_ref[...]               # [K, 2C, bs, bs]  (gx | gy)
+    S = strips_ref[...]          # [K, 4, 3C, bs]
+    C = p.shape[1]
+    x_as = lambda a: a[:, :, None, :]         # [K, c, bs] -> row strip
+    y_as = lambda a: a[..., None]             # [K, c, bs] -> column strip
+    pex = jnp.concatenate([x_as(S[:, 0, :C]), p, x_as(S[:, 1, :C])], axis=2)
+    pey = jnp.concatenate([y_as(S[:, 2, :C]), p, y_as(S[:, 3, :C])], axis=3)
+    Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
+    Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
     xc = xc_ref[...]             # [K, 2, bs, bs]
     sp = sp_ref[...][..., None]          # [K, 1, 1, 1]
     mask = mask_ref[...][..., None]
@@ -212,7 +223,7 @@ def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
     # subprog_binary_scheme.cpp:337-450) ---------------------------------
     x, y = xc[:, 0], xc[:, 1]
     sigma = u0[:, 0]
-    p0 = pex[:, :, 1:-1]
+    p0 = p
 
     def body_fields(k):
         M = bodies_ref[k, 0]
@@ -313,12 +324,14 @@ def _kernel(dt_ref, bodies_ref, u0_ref, pex_ref, pey_ref, Gex_ref, Gey_ref,
     totals_ref[...] += contrib
 
 
-def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
-                       br, spacing, bmask, dt, bodies, K, cfg_tuple,
+def fused_advance_core(u0T, pT, GT, strips, xcT, xfT, yfT,
+                       initT, br, spacing, bmask, dt, bodies, K, cfg_tuple,
                        cfg_flux, interpret=False):
-    """One pallas launch over chunks of K blocks. All tensor args are
-    component-first [Bp, C, ., .] (Bp = padded block count); br [Bp, bs, bs];
-    spacing/bmask [Bp, 1, 1]. Returns (u1T, edge flux strips, totals[16,128])."""
+    """One pallas launch over chunks of K blocks. Tensor args are
+    component-first [Bp, C, ., .]; strips = packed guard strips
+    [Bp, 4, 3C, bs] (faces x-lo/x-hi/y-lo/y-hi; comps p | gx | gy);
+    br [Bp, bs, bs]; spacing/bmask [Bp, 1, 1]. Returns
+    (u1T, edge flux strips, totals[16, 128])."""
     Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
     dtype = u0T.dtype
     grid = (Bp // K,)
@@ -344,10 +357,9 @@ def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
             smem,                                   # dt (1,1)
             smem,                                   # bodies (2,5)
             vspec(C, bs, bs),                       # u0
-            vspec(C, bs + 2, bs),                   # pex
-            vspec(C, bs, bs + 2),                   # pey
-            vspec(2 * C, bs + 2, bs),               # Gex
-            vspec(2 * C, bs, bs + 2),               # Gey
+            vspec(C, bs, bs),                       # p
+            vspec(2 * C, bs, bs),                   # G
+            vspec(4, 3 * C, bs),                    # packed guard strips
             vspec(2, bs, bs),                       # xc
             vspec(2, bs + 1, bs),                   # xf
             vspec(2, bs, bs + 1),                   # yf
@@ -373,6 +385,6 @@ def fused_advance_core(u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT, initT,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(dt_arr, bodies_arr, u0T, pexT, peyT, GexT, GeyT, xcT, xfT, yfT,
+    )(dt_arr, bodies_arr, u0T, pT, GT, strips, xcT, xfT, yfT,
       initT, br, spacing, bmask)
     return out

@@ -323,27 +323,76 @@ def extend_blocks_fast(U, gg: GuardGather, axis: int):
     return jnp.concatenate([lo, U, hi], axis=2)
 
 
-def extend_blocks_fast_soa(UT, gg: GuardGather, axis: int):
-    """extend_blocks_fast for component-first [B, C, bs, bs] arrays: the
-    same guard-gather tables applied per component, guards concatenated
-    along the spatial axis. Avoids the minor-axis transposes that dominate
-    the trailing-layout path on TPU (3-element minor dims relayout at
-    ~20 GB/s)."""
-    B, C, bs = UT.shape[0], UT.shape[1], gg.bs
-    f_lo, f_hi = 2 * axis, 2 * axis + 1
-    ii = jnp.asarray(gg.indices[:, (f_lo, f_hi)])          # [B, 2, bs, 4]
-    ww = jnp.asarray(gg.weights[:, (f_lo, f_hi)], UT.dtype)
+def build_soa_guard(nt: NeighborTable, bs: int, dtype=np.float64):
+    """Constants for the SoA guard exchange: one-hot [bs, bs] matrices for
+    the coarse prolongation (half-select + 2x repeat) and the fine
+    restriction (pair-sum + half-placement), applied as matmuls so the
+    exchange uses row gathers + MXU instead of scalar cell gathers (XLA
+    lowers single-element gathers at ~1 element/cycle on TPU)."""
+    half = bs // 2
+    Mh = np.zeros((2, bs, bs), dtype)          # coarse: guard[p] = row[h*half + p//2]
+    for h in (0, 1):
+        for pcol in range(bs):
+            Mh[h, h * half + pcol // 2, pcol] = 1.0
+    Pf = np.zeros((2, bs, bs), dtype)          # fine: guard[p] = 0.5*(a[2p] + a[2p+1]), half s
+    for sslot in (0, 1):
+        for pcol in range(sslot * half, (sslot + 1) * half):
+            q = (2 * pcol) % bs
+            Pf[sslot, q, pcol] = 0.5
+            Pf[sslot, q + 1, pcol] = 0.5
+    return Mh, Pf
 
-    strips = []
-    for c in range(C):
-        flat_c = UT[:, c].reshape(B * bs * bs)
-        vals = flat_c[ii]                                   # [B, 2, bs, 4]
-        strips.append(jnp.einsum("bfpm,bfpm->bfp", ww, vals))
-    guards = jnp.stack(strips, axis=2)                      # [B, 2, C, bs]
+
+def guard_strips_soa(UT, nt: NeighborTable, consts, axis: int):
+    """(lo, hi) one-cell guard strips [B, C, bs] for component-first
+    blocks, via row gathers + one-hot matmuls (see build_soa_guard)."""
+    B, C, bs = UT.shape[0], UT.shape[1], UT.shape[3]
+    Mh, Pf = consts
+    Mh = jnp.asarray(Mh, UT.dtype)
+    Pf = jnp.asarray(Pf, UT.dtype)
+
     if axis == 0:
-        lo = guards[:, 0].reshape(B, C, 1, bs)
-        hi = guards[:, 1].reshape(B, C, 1, bs)
-        return jnp.concatenate([lo, UT, hi], axis=2)
-    lo = guards[:, 0][..., None]                            # [B, C, bs, 1]
-    hi = guards[:, 1][..., None]
-    return jnp.concatenate([lo, UT, hi], axis=3)
+        E = jnp.stack([UT[:, :, 0], UT[:, :, 1],
+                       UT[:, :, bs - 2], UT[:, :, bs - 1]], axis=2)
+    else:
+        E = jnp.stack([UT[:, :, :, 0], UT[:, :, :, 1],
+                       UT[:, :, :, bs - 2], UT[:, :, :, bs - 1]], axis=2)
+
+    def guard(side):
+        f = 2 * axis + side
+        # neighbor's facing edge: its high rows for my low side & vice versa
+        e_last = 3 if side == 0 else 0    # single edge row slot in E
+        e_pair = (2, 3) if side == 0 else (1, 0)  # (inner, edge) for fine
+
+        same = E[jnp.asarray(nt.same_id[:, f])][:, :, e_last]
+        crow = E[jnp.asarray(nt.coarse_id[:, f])][:, :, e_last]
+        chalf = jnp.asarray(nt.coarse_half[:, f] == 0)[:, None, None]
+        coarse = jnp.where(chalf,
+                           jnp.einsum("bcq,qp->bcp", crow, Mh[0]),
+                           jnp.einsum("bcq,qp->bcp", crow, Mh[1]))
+        g0 = E[jnp.asarray(nt.fine_id[:, f, 0])]
+        g1 = E[jnp.asarray(nt.fine_id[:, f, 1])]
+        a0 = 0.5 * (g0[:, :, e_pair[0]] + g0[:, :, e_pair[1]])
+        a1 = 0.5 * (g1[:, :, e_pair[0]] + g1[:, :, e_pair[1]])
+        fine = (jnp.einsum("bcq,qp->bcp", a0, Pf[0])
+                + jnp.einsum("bcq,qp->bcp", a1, Pf[1]))
+
+        case = jnp.asarray(nt.case[:, f])[:, None, None]
+        return jnp.where(case == 0, same,
+                         jnp.where(case == 1, coarse, fine))
+
+    return guard(0), guard(1)
+
+
+def extend_blocks_fast_soa(UT, nt: NeighborTable, consts, axis: int):
+    """extend_blocks_fast for component-first [B, C, bs, bs] arrays.
+
+    Strategy: slice the 4 candidate edge rows/columns of every block into
+    a compact [B, C, 4, bs] tensor, gather whole neighbor rows by block id
+    (large contiguous rows — fast), then build the three guard cases with
+    one-hot matmuls. Matches extend_blocks_fast bit-for-bit up to the
+    summation order of the 4-term fine average."""
+    lo, hi = guard_strips_soa(UT, nt, consts, axis)
+    if axis == 0:
+        return jnp.concatenate([lo[:, :, None], UT, hi[:, :, None]], axis=2)
+    return jnp.concatenate([lo[..., None], UT, hi[..., None]], axis=3)

@@ -504,6 +504,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     xc_j = jnp.asarray(xc, dtype)
     xcT_j = jnp.transpose(xc_j, (0, 3, 1, 2))
     sp_j = jnp.asarray(spacing, dtype)
+    soa_consts = block_layout.build_soa_guard(nt, bs)
 
     cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
                  cfg.mach_number, cfg.axisymmetric_cs2, cfg.conserve_linear_p,
@@ -535,28 +536,46 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                 [sig, ((sr * x0 - lz * x1) / r2)[:, None],
                  ((sr * x1 + lz * x0) / r2)[:, None]], axis=1)
 
-        pexT = block_layout.extend_blocks_fast_soa(pT, gg, axis=0)
-        peyT = block_layout.extend_blocks_fast_soa(pT, gg, axis=1)
+        pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 0)
+        pylo, pyhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 1)
 
         if cfg.reconstruct_method == "plm":
             sp4 = sp_j[:, None, None, None]
-            gxT = plm_gradient(pexT[:, :, :-2], pexT[:, :, 1:-1],
-                               pexT[:, :, 2:], plm_theta) / sp4
-            gyT = plm_gradient(peyT[:, :, :, :-2], peyT[:, :, :, 1:-1],
-                               peyT[:, :, :, 2:], plm_theta) / sp4
+            sp3 = sp_j[:, None, None]
+            # gradients without materializing extended arrays: interior
+            # slopes from shifted slices, edge slopes from the guard strips
+            gxT = jnp.concatenate([
+                plm_gradient(pxlo, pT[:, :, 0], pT[:, :, 1],
+                             plm_theta)[:, :, None] / sp4,
+                plm_gradient(pT[:, :, :-2], pT[:, :, 1:-1], pT[:, :, 2:],
+                             plm_theta) / sp4,
+                plm_gradient(pT[:, :, -2], pT[:, :, -1], pxhi,
+                             plm_theta)[:, :, None] / sp4], axis=2)
+            gyT = jnp.concatenate([
+                (plm_gradient(pylo, pT[:, :, :, 0], pT[:, :, :, 1],
+                              plm_theta) / sp3)[..., None],
+                plm_gradient(pT[:, :, :, :-2], pT[:, :, :, 1:-1],
+                             pT[:, :, :, 2:], plm_theta) / sp4,
+                (plm_gradient(pT[:, :, :, -2], pT[:, :, :, -1], pyhi,
+                              plm_theta) / sp3)[..., None]], axis=3)
         else:
             gxT = jnp.zeros_like(pT)
             gyT = jnp.zeros_like(pT)
 
         GT = jnp.concatenate([gxT, gyT], axis=1)
-        GexT = block_layout.extend_blocks_fast_soa(GT, gg, axis=0)
-        GeyT = block_layout.extend_blocks_fast_soa(GT, gg, axis=1)
+        Gxlo, Gxhi = block_layout.guard_strips_soa(GT, nt, soa_consts, 0)
+        Gylo, Gyhi = block_layout.guard_strips_soa(GT, nt, soa_consts, 1)
 
         padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
                           if pad else a)
+        strips = padB(jnp.stack([
+            jnp.concatenate([pxlo, Gxlo], axis=1),
+            jnp.concatenate([pxhi, Gxhi], axis=1),
+            jnp.concatenate([pylo, Gylo], axis=1),
+            jnp.concatenate([pyhi, Gyhi], axis=1)], axis=1))
         u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
             binary_advance.fused_advance_core(
-                padB(uT), padB(pexT), padB(peyT), padB(GexT), padB(GeyT),
+                padB(uT), padB(pT), padB(GT), strips,
                 xcT, xfT, yfT, initT, brP, spP, bmask, dt, bodies, K,
                 cfg_tuple, cfg_flux, interpret=interpret)
 

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from mara3_tpu.models import two_body_jax as tbj
 from mara3_tpu.physics import iso2d
-from mara3_tpu.schemes.binary_scheme import cs2_at_position
 
 
 def solution_to_arrays(sol, dtype):
@@ -63,10 +62,17 @@ def arrays_to_solution(s, sol_cls):
         orbital_elements=tbj.unpack_elements(s["oe"]))
 
 
-def make_fast_step(sd):
+def make_fast_step(sd, bookkeeping=True, retry=True):
     """step(arrays) -> (arrays, info) where info = dict(dt, retried,
     invalid, disk_mass, disk_angular_momentum) of scalars. `sd` is the
-    SolverData from subprograms/binary.py."""
+    SolverData from subprograms/binary.py.
+
+    retry=False omits the in-graph safe-mode lax.cond: on this runtime a
+    conditional executes BOTH branches (measured 2x step cost), so the
+    driver's hot scan runs retry-free and repairs faulted chunks host-side
+    (rewind to the chunk head, replay the good steps, run the single
+    faulted step through the retrying variant). bookkeeping=False skips
+    the orbital-element updates (profiling only)."""
     adv = getattr(sd.advance, "traced_soa", None)
     soa = adv is not None
     if not soa:
@@ -111,11 +117,14 @@ def make_fast_step(sd):
              vy + t["integrated_force_y_on"] / m], axis=1)
 
         E0 = s["oe"]
-        d_acc = tbj.diff(E0, tbj.compute_orbital_elements(acc_bodies,
-                                                          s["time"]))
-        d_grv = tbj.diff(E0, tbj.compute_orbital_elements(grv_bodies,
-                                                          s["time"]))
-        d_cm = tbj.diff_cm(E0, dt)
+        if bookkeeping:
+            d_acc = tbj.diff(E0, tbj.compute_orbital_elements(acc_bodies,
+                                                              s["time"]))
+            d_grv = tbj.diff(E0, tbj.compute_orbital_elements(grv_bodies,
+                                                              s["time"]))
+            d_cm = tbj.diff_cm(E0, dt)
+        else:
+            d_acc = d_grv = d_cm = jnp.zeros_like(E0)
         live = jnp.where(s["time"] > live_after, 1.0, 0.0).astype(E0.dtype)
 
         s1 = {
@@ -166,7 +175,19 @@ def make_fast_step(sd):
             r2 = x0 * x0 + x1 * x1
             vx = (sr * x0 - lz * x1) / r2
             vy = (sr * x1 + lz * x0) / r2
-        cs2 = cs2_at_position(xc, bodies, cfg)   # [B, bs, bs]
+        # cs2 from the SoA positions (slicing the trailing [.., 2] xc
+        # costs a minor-axis relayout on TPU)
+        x0, y0 = xcT[:, 0], xcT[:, 1]
+        if cfg.axisymmetric_cs2:
+            cs2 = 1.0 / jnp.sqrt(x0 * x0 + y0 * y0) / cfg.mach_number ** 2
+        else:
+            p1 = -bodies[0, 0] / jnp.sqrt(
+                (x0 - bodies[0, 1]) ** 2 + (y0 - bodies[0, 2]) ** 2
+                + cfg.softening_radius ** 2)
+            p2 = -bodies[1, 0] / jnp.sqrt(
+                (x0 - bodies[1, 1]) ** 2 + (y0 - bodies[1, 2]) ** 2
+                + cfg.softening_radius ** 2)
+            cs2 = -(p1 + p2) / cfg.mach_number ** 2
         cs = jnp.sqrt(cs2)
         a = jnp.maximum(jnp.abs(vx) + cs, jnp.abs(vy) + cs)
         return jnp.min(spacing / jnp.max(a, axis=(1, 2)))
@@ -181,17 +202,23 @@ def make_fast_step(sd):
         theta_t = jnp.asarray(theta0, dt.dtype)
         s1, inv = do_step(s, dt, theta_t)
 
-        # safe-mode retry in-graph: recompute the whole step at dt/10 with
-        # first-order reconstruction when any stage saw a negative density;
-        # lax.cond executes the retry branch only when needed
-        def retry(_):
-            s_safe, inv_safe = do_step(s, dt * 0.1, jnp.zeros_like(theta_t))
-            return s_safe, inv_safe, dt * 0.1
+        if retry:
+            # safe-mode retry in-graph: recompute the whole step at dt/10
+            # with first-order reconstruction when any stage saw a negative
+            # density (note: both branches execute on this runtime — the
+            # driver's hot scan uses retry=False instead)
+            def do_retry(_):
+                s_safe, inv_safe = do_step(s, dt * 0.1,
+                                           jnp.zeros_like(theta_t))
+                return s_safe, inv_safe, dt * 0.1
 
-        def keep(_):
-            return s1, jnp.zeros_like(inv), dt
+            def keep(_):
+                return s1, jnp.zeros_like(inv), dt
 
-        s_out, invalid, dt_used = jax.lax.cond(inv, retry, keep, None)
+            s_out, invalid, dt_used = jax.lax.cond(inv, do_retry, keep,
+                                                   None)
+        else:
+            s_out, invalid, dt_used = s1, inv, dt
         info = {
             "dt": dt_used,
             "retried": inv,
@@ -243,14 +270,25 @@ def _pack_info(info):
     return jnp.concatenate(parts)
 
 
+def pack_info_host(info):
+    """Host-side equivalent of _pack_info for a single step's info dict."""
+    import numpy as np
+    parts = []
+    for name, w in _INFO_LAYOUT:
+        parts.append(np.asarray(info[name], np.float64).reshape(-1))
+    return np.concatenate(parts)
+
+
 def make_fast_scan(sd):
     """scan_steps(s, n) -> (s, rows [n, INFO_WIDTH]): n fully-jitted steps
     as one XLA program with the per-step info packed into one array. One
     device sync per *chunk* instead of per step; the driver loop replays
-    schedule marking host-side from the packed rows."""
+    schedule marking host-side from the packed rows. The scan body is
+    retry-FREE (a lax.cond executes both branches on this runtime); the
+    driver repairs faulted chunks by rewinding (see _main_fast)."""
     from functools import partial
 
-    step = make_fast_step(sd)
+    step = make_fast_step(sd, retry=False)
 
     @partial(jax.jit, static_argnames=("n",))
     def scan_steps(s, n: int):

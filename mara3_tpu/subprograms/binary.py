@@ -727,9 +727,39 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         ("write_diagnostics", cfg.get_double("dfi") * 2 * math.pi),
         ("record_time_series", cfg.get_double("tsi") * 2 * math.pi)]
 
+    retry_step = None                      # built lazily (faults are rare)
     CHUNKS = (256, 64, 16, 4, 1)
     t_now = float(s["time"])
     dt_est = None
+
+    def repair(s_prev, rows):
+        """A step in this chunk hit a negative density. The hot scan is
+        retry-free (a lax.cond executes both branches on this runtime), so
+        rewind to the chunk head, replay the good steps, and run the
+        faulted step through the retrying single-step (the reference's
+        catch + dt/10 theta=0 path, subprog_binary.cpp:285-292)."""
+        nonlocal retry_step
+        from mara3_tpu.schemes import binary_step as BS
+        if retry_step is None:
+            retry_step = BS.make_fast_step(sd)
+        bad = int(np.argmax(rows[:, IX["invalid"]] > 0))
+        s2 = s_prev
+        good = []
+        left = bad
+        while left > 0:
+            c = next(cc for cc in CHUNKS if cc <= left)
+            s2, r2 = scan_steps(s2, c)
+            good.append(np.asarray(r2))
+            left -= c
+        s2, info = retry_step(s2)
+        if bool(info["invalid"]):
+            raise NegativeDensityError(
+                "negative density persisted through safe-mode retry")
+        print("negative density: step retried in safe mode (dt/10, "
+              "theta=0)")
+        good.append(BS.pack_info_host(
+            {k: np.asarray(v) for k, v in info.items()})[None])
+        return s2, np.concatenate(good, axis=0)
 
     while t_now < tfinal_t:
         if dt_est is None:
@@ -739,17 +769,13 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
             n = next(c for c in CHUNKS if c <= remaining)
 
         t0 = _time.perf_counter()
+        s_prev = s
         s, rows = scan_steps(s, n)
         rows = np.asarray(rows)            # the chunk's single device sync
         ms = (_time.perf_counter() - t0) * 1e3
 
-        n_retry = int(rows[:, IX["retried"]].sum())
-        if n_retry:
-            print(f"negative density: {n_retry} step(s) retried in safe "
-                  f"mode (dt/10, theta=0)")
         if rows[:, IX["invalid"]].any():
-            raise NegativeDensityError(
-                "negative density persisted through safe-mode retry")
+            s, rows = repair(s_prev, rows)
 
         for row in rows:
             schedule = mark_tasks(schedule, float(row[IX["time"]]),

@@ -83,3 +83,53 @@ def test_fast_step_safe_retry_matches_host():
     assert not bool(info["invalid"])
     sol_h = B.next_solution(sol_h, sd)     # host catches + retries
     compare(sol_h, binary_step.arrays_to_solution(s, B.Solution))
+
+
+def test_retry_free_scan_plus_repair_matches_cond_steps():
+    """The driver's fault handling: a retry-free scan chunk whose rows
+    flag a negative density is rewound and repaired (replay good steps,
+    run the faulted step through the retrying variant). The result must
+    equal stepping sequentially with the in-graph-retry step."""
+    import jax.numpy as jnp
+
+    cfg, sd, sol = build({"depth": 3, "block_size": 8, "fixed_dt": 1,
+                          "cfl_number": 3.0, "rk_order": 1})
+    IX = binary_step.INFO_INDEX
+    scan_steps = binary_step.make_fast_scan(sd)
+    cond_step = binary_step.make_fast_step(sd)          # retrying variant
+    s0 = binary_step.solution_to_arrays(sol, np.float64)
+
+    # sequential reference: 4 steps with in-graph retry
+    s_ref = s0
+    retried = []
+    for _ in range(4):
+        s_ref, info = cond_step(s_ref)
+        retried.append(bool(info["retried"]))
+        assert not bool(info["invalid"])
+    assert any(retried), "config should trigger at least one retry"
+
+    # chunked path: retry-free scan + host repair, exactly as _main_fast
+    s2 = s0
+    steps_done = 0
+    while steps_done < 4:
+        n = min(4 - steps_done, 4)
+        s_prev = s2
+        s2, rows = scan_steps(s2, n)
+        rows = np.asarray(rows)
+        inv = rows[:, IX["invalid"]] > 0
+        if inv.any():
+            bad = int(np.argmax(inv))
+            s2 = s_prev
+            for _ in range(bad):
+                s2, _ = scan_steps(s2, 1)
+            s2, info = cond_step(s2)
+            assert not bool(info["invalid"])
+            steps_done += bad + 1
+        else:
+            steps_done += n
+
+    np.testing.assert_allclose(np.asarray(s2["conserved"]),
+                               np.asarray(s_ref["conserved"]),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(float(s2["time"]), float(s_ref["time"]),
+                               rtol=1e-14)
