@@ -85,6 +85,13 @@ def create_config_template():
             # fully-jitted step (CFL + RK + orbital bookkeeping + safe
             # retry in one XLA program, schemes/binary_step.py):
             # 1 on, 0 off, -1 auto (on when the backend is a TPU)
+            # adaptive regridding (beyond the reference, whose trees are
+            # static): rebuild the leaf set from the density-gradient
+            # indicator every `rgi` orbits (mesh/regrid.py); each regrid
+            # recompiles the step for the new block count (amortized by
+            # the persistent compilation cache)
+            .item("regrid", 0)
+            .item("rgi", 0.5)
             .item("fast_step", -1))
 
 
@@ -169,10 +176,12 @@ def create_leaves(cfg):
     return tuple(tree.create_quadtree(predicate, depth))
 
 
-def create_solver_data(cfg) -> SolverData:
+def create_solver_data(cfg, leaves=None) -> SolverData:
     bs = cfg.get_int("block_size")
     rd = cfg.get_double("domain_radius")
-    leaves = create_leaves(cfg)
+    if leaves is None:
+        leaves = create_leaves(cfg)
+    leaves = tuple(leaves)
     nt = block_layout.build_neighbor_table(leaves)
 
     verts = block_layout.block_vertices(leaves, bs) * rd
@@ -670,6 +679,33 @@ def create_state(cfg, sd: SolverData) -> State:
     return State(solution, schedule, ts, cfg)
 
 
+def apply_regrid(solution: Solution, sd: SolverData, cfg):
+    """Data-driven leaf-set rebuild for the flagship (beyond the reference,
+    whose trees are static): flag on the density-gradient indicator,
+    enforce 2:1 balance, remap the state by prolong/restrict, and rebuild
+    the solver for the new layout. Conservation: the cell-average remap
+    preserves total mass and momentum exactly on the uniform-area blocks
+    (tested). Returns (solution, sd) — unchanged objects if the leaf set
+    is stable."""
+    from mara3_tpu.mesh import regrid as rg
+
+    bs = cfg.get_int("block_size")
+    depth = cfg.get_int("depth")
+    u = np.asarray(solution.conserved)
+    dxb = np.asarray(sd.geometry[2])
+    indicator = rg.gradient_indicator(u, dxb)
+    new_leaves = rg.propose_leaves(sd.leaves, indicator,
+                                   refine_threshold=0.3,
+                                   coarsen_threshold=0.05,
+                                   max_level=depth)
+    if tuple(new_leaves) == tuple(sd.leaves):
+        return solution, sd
+    remapped = rg.remap_blocks(sd.leaves, u, new_leaves)
+    sd2 = create_solver_data(cfg, leaves=new_leaves)
+    print(f"regrid: {len(sd.leaves)} -> {len(new_leaves)} blocks")
+    return replace(solution, conserved=jnp.asarray(remapped)), sd2
+
+
 def next_state(state: State, sd: SolverData) -> State:
     solution = next_solution(state.solution, sd)
     cfg = state.run_config
@@ -731,6 +767,9 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
     CHUNKS = (256, 64, 16, 4, 1)
     t_now = float(s["time"])
     dt_est = None
+    regrid_on = cfg.get_int("regrid") != 0
+    rgi_t = cfg.get_double("rgi") * 2 * math.pi
+    next_regrid = t_now + rgi_t
 
     def repair(s_prev, rows):
         """A step in this chunk hit a negative density. The hot scan is
@@ -762,10 +801,24 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         return s2, np.concatenate(good, axis=0)
 
     while t_now < tfinal_t:
+        if regrid_on and t_now >= next_regrid:
+            sol2, sd2 = apply_regrid(
+                binary_step.arrays_to_solution(s, Solution), sd, cfg)
+            if sd2 is not sd:
+                sd = sd2
+                scan_steps = binary_step.make_fast_scan(sd)
+                retry_step = None
+                num_zones = (len(sd.leaves)
+                             * sd.geometry[0].shape[1] ** 2)
+                s = binary_step.solution_to_arrays(sol2, dtype)
+            next_regrid += rgi_t
         if dt_est is None:
             n = 1          # learn dt (and compile the step) first
         else:
             remaining = max(1, int((tfinal_t - t_now) / dt_est) + 1)
+            n_cap = max(1, int((next_regrid - t_now) / dt_est) + 1) \
+                if regrid_on else remaining
+            remaining = min(remaining, n_cap)
             n = next(c for c in CHUNKS if c <= remaining)
 
         t0 = _time.perf_counter()
@@ -826,8 +879,15 @@ def main(argv) -> int:
         return _main_fast(cfg, sd, state)
 
     from mara3_tpu.app.performance import time_execution
-    num_zones = len(sd.leaves) * bs * bs
+    regrid_on = cfg.get_int("regrid") != 0
+    rgi_t = cfg.get_double("rgi") * 2 * math.pi
+    next_regrid = state.solution.time + rgi_t
     while state.solution.time / (2 * math.pi) < cfg.get_double("tfinal"):
+        if regrid_on and state.solution.time >= next_regrid:
+            sol2, sd = apply_regrid(state.solution, sd, cfg)
+            state = State(sol2, state.schedule, state.time_series, cfg)
+            next_regrid += rgi_t
+        num_zones = len(sd.leaves) * bs * bs
         state, perf = time_execution(
             lambda s: run_tasks(next_state(s, sd), sd), state)
         rate = num_zones / max(perf.execution_time_ms, 1e-12)

@@ -127,3 +127,47 @@ def test_live_binary_orbital_evolution():
     assert sol.orbital_elements.elements.separation != a0
     # perturbations should be small over 5 steps
     assert abs(sol.orbital_elements.elements.separation - a0) < 1e-3
+
+
+def test_binary_dynamic_regrid_conserves_and_tracks(tmp_path):
+    """Dynamic regridding for the flagship (beyond the reference, whose
+    trees are static): the leaf set adapts to the density-gradient
+    indicator, the remap preserves the conserved totals exactly, and the
+    run continues finite on the new layout (host and fast drivers share
+    apply_regrid)."""
+    import os
+
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 4, "block_size": 8, "regrid": 1, "rgi": 0.01,
+         "tfinal": 0.03, "cpi": 0.015, "outdir": str(tmp_path),
+         "fast_step": 0})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+
+    # direct remap conservation check
+    sol2, sd2 = B.apply_regrid(sol, sd, cfg)
+    assert len(sd2.leaves) != len(sd.leaves), "indicator should refine"
+    dA1 = np.asarray(sd.geometry[1])[..., None]
+    dA2 = np.asarray(sd2.geometry[1])[..., None]
+    tot1 = (np.asarray(sol.conserved) * dA1).sum(axis=(0, 1, 2))
+    tot2 = (np.asarray(sol2.conserved) * dA2).sum(axis=(0, 1, 2))
+    np.testing.assert_allclose(tot2, tot1, rtol=1e-12, atol=1e-18)
+
+    # end-to-end: the run regrids and completes
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert B.main(["binary", "depth=4", "block_size=8", "regrid=1",
+                       "rgi=0.01", "tfinal=0.03", "cpi=0.015",
+                       "outdir=."]) == 0
+    finally:
+        os.chdir(old)
+    import glob
+
+    import h5py
+    last = sorted(glob.glob(str(tmp_path / "chkpt.*.h5")))[-1]
+    with h5py.File(last) as f:
+        for k in f["solution/conserved_u"]:
+            assert np.isfinite(f[f"solution/conserved_u/{k}"][()]).all()
