@@ -46,9 +46,10 @@ def pick_chunk(num_blocks: int, block_size: int, budget_bytes=8_000_000,
     return kmax, -(-num_blocks // kmax) * kmax
 
 
-def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
+def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, x, y, sp, bodies, axis,
+                  cfg_flux):
     """Face flux * face_length on one axis. Inputs are component-first
-    [K, C, nf, mf] face-state/gradient arrays; xf [K, 2, nf, mf] face
+    [K, C, nf, mf] face-state/gradient arrays; x/y [K, nf, mf] face
     centers; sp [K, 1, 1, 1] block spacing. Mirrors block_fluxes()
     (schemes/binary_scheme.py) term for term."""
     (softening, mach, axisym, conserve_p, alpha, alpha_cutoff, nu_const,
@@ -57,8 +58,6 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
     half = 0.5 * sp
     plh = pl_ + gl * half
     prh = pr_ - gr * half
-
-    x, y = xf[:, 0], xf[:, 1]
     b1m, b1x, b1y = bodies[0, 0], bodies[0, 1], bodies[0, 2]
     b2m, b2x, b2y = bodies[1, 0], bodies[1, 1], bodies[1, 2]
     M2 = mach * mach
@@ -175,11 +174,12 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, xf, sp, bodies, axis, cfg_flux):
 
 
 def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
-            xc_ref, xf_ref, yf_ref, init_ref, br_ref, sp_ref, mask_ref,
+            geo_ref, init_ref, sp_ref, mask_ref,
             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
-            *, cfg_tuple, cfg_flux):
+            *, cfg_tuple, cfg_flux, buffer_cfg):
     (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
      floor, gst2) = cfg_tuple
+    buffer_damping_rate, buffer_radius = buffer_cfg
 
     dt = dt_ref[0, 0]
     u0 = u0_ref[...]
@@ -198,19 +198,42 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     pey = jnp.concatenate([y_as(S[:, 2, :C]), p, y_as(S[:, 3, :C])], axis=3)
     Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
     Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
-    xc = xc_ref[...]             # [K, 2, bs, bs]
     sp = sp_ref[...][..., None]          # [K, 1, 1, 1]
     mask = mask_ref[...][..., None]
+
+    # positions from 3 per-block scalars + iota (the precomputed xc/xf/yf
+    # arrays cost 6 floats/cell of HBM traffic and 3 DMA streams/step)
+    bs = p.shape[2]
+    dtype = p.dtype
+    geo = geo_ref[...]                   # [K, 1, 3]: x0, y0, dx
+    gx0 = geo[:, :, 0][..., None]        # [K, 1, 1]
+    gy0 = geo[:, :, 1][..., None]
+    gdx = geo[:, :, 2][..., None]
+
+    def iotas(ni, nj):
+        ii = jax.lax.broadcasted_iota(dtype, (1, ni, nj), 1)
+        jj = jax.lax.broadcasted_iota(dtype, (1, ni, nj), 2)
+        return ii, jj
+
+    ic, jc = iotas(bs, bs)
+    x = gx0 + (ic + 0.5) * gdx           # cell centers [K, bs, bs]
+    y = gy0 + (jc + 0.5) * gdx
+    ixf, jxf = iotas(bs + 1, bs)
+    xfx = gx0 + ixf * gdx                # x-face centers
+    xfy = gy0 + (jxf + 0.5) * gdx
+    iyf, jyf = iotas(bs, bs + 1)
+    yfx = gx0 + (iyf + 0.5) * gdx        # y-face centers
+    yfy = gy0 + jyf * gdx
 
     # ---- fluxes --------------------------------------------------------
     fx = _hlle_viscous(pex[:, :, :-1], pex[:, :, 1:],
                        Gex[:, 0:3, :-1], Gex[:, 0:3, 1:],
                        Gex[:, 3:6, :-1], Gex[:, 3:6, 1:],
-                       xf_ref[...], sp, bodies_ref, 0, cfg_flux)
+                       xfx, xfy, sp, bodies_ref, 0, cfg_flux)
     fy = _hlle_viscous(pey[:, :, :, :-1], pey[:, :, :, 1:],
                        Gey[:, 3:6, :, :-1], Gey[:, 3:6, :, 1:],
                        Gey[:, 0:3, :, :-1], Gey[:, 0:3, :, 1:],
-                       yf_ref[...], sp, bodies_ref, 1, cfg_flux)
+                       yfx, yfy, sp, bodies_ref, 1, cfg_flux)
 
     # positive static indices only: negative ints lower via dynamic_slice,
     # which Mosaic does not implement
@@ -221,7 +244,6 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
 
     # ---- sources + accounting (port of kernels/binary_update._kernel,
     # subprog_binary_scheme.cpp:337-450) ---------------------------------
-    x, y = xc[:, 0], xc[:, 1]
     sigma = u0[:, 0]
     p0 = p
 
@@ -253,7 +275,12 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
 
     ss1 = -u0 * sink1[:, None] * dt
     ss2 = -u0 * sink2[:, None] * dt
-    sb = (init_ref[...] - u0) * br_ref[...][:, None] * dt
+    # buffer damping rate computed in place of the precomputed br array
+    # (subprog_binary_solver_data.cpp:61-76)
+    r_cell = jnp.sqrt(x * x + y * y)
+    br = buffer_damping_rate * (1.0 + jnp.tanh(3.0 * (r_cell
+                                                      - buffer_radius)))
+    sb = (init_ref[...] - u0) * br[:, None] * dt
     sf = u0 * (0.01 * (sigma < floor))[:, None]
 
     s = sg1 + sg2 + ss1 + ss2 + sb + sf
@@ -324,13 +351,14 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     totals_ref[...] += contrib
 
 
-def fused_advance_core(u0T, pT, GT, strips, xcT, xfT, yfT,
-                       initT, br, spacing, bmask, dt, bodies, K, cfg_tuple,
-                       cfg_flux, interpret=False):
+def fused_advance_core(u0T, pT, GT, strips, blockgeo,
+                       initT, spacing, bmask, dt, bodies, K, cfg_tuple,
+                       cfg_flux, buffer_cfg, interpret=False):
     """One pallas launch over chunks of K blocks. Tensor args are
     component-first [Bp, C, ., .]; strips = packed guard strips
     [Bp, 4, 3C, bs] (faces x-lo/x-hi/y-lo/y-hi; comps p | gx | gy);
-    br [Bp, bs, bs]; spacing/bmask [Bp, 1, 1]. Returns
+    blockgeo [Bp, 1, 3] = (x0, y0, dx) per block (positions are rebuilt
+    in-kernel from iota); spacing/bmask [Bp, 1, 1]. Returns
     (u1T, edge flux strips, totals[16, 128])."""
     Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
     dtype = u0T.dtype
@@ -348,7 +376,7 @@ def fused_advance_core(u0T, pT, GT, strips, xcT, xfT, yfT,
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     kernel = functools.partial(_kernel, cfg_tuple=cfg_tuple,
-                               cfg_flux=cfg_flux)
+                               cfg_flux=cfg_flux, buffer_cfg=buffer_cfg)
 
     out = pl.pallas_call(
         kernel,
@@ -360,11 +388,8 @@ def fused_advance_core(u0T, pT, GT, strips, xcT, xfT, yfT,
             vspec(C, bs, bs),                       # p
             vspec(2 * C, bs, bs),                   # G
             vspec(4, 3 * C, bs),                    # packed guard strips
-            vspec(2, bs, bs),                       # xc
-            vspec(2, bs + 1, bs),                   # xf
-            vspec(2, bs, bs + 1),                   # yf
+            vspec3(1, 3),                           # blockgeo (Bp, 1, 3)
             vspec(C, bs, bs),                       # init
-            vspec3(bs, bs),                         # br
             vspec3(1, 1),                           # spacing (Bp, 1, 1)
             vspec3(1, 1),                           # mask (Bp, 1, 1)
         ],
@@ -385,6 +410,6 @@ def fused_advance_core(u0T, pT, GT, strips, xcT, xfT, yfT,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(dt_arr, bodies_arr, u0T, pT, GT, strips, xcT, xfT, yfT,
-      initT, br, spacing, bmask)
+    )(dt_arr, bodies_arr, u0T, pT, GT, strips, blockgeo,
+      initT, spacing, bmask)
     return out

@@ -48,6 +48,7 @@ class SchemeConfig:
     axisymmetric_cs2: bool
     conserve_linear_p: bool
     reconstruct_method: str   # 'plm' or 'pcm'
+    buffer_damping_rate: float = 10.0
     riemann: str = "hlle"     # 'hlle' (the reference's pinned choice,
                               # subprog_binary_solver_data.cpp:109) or
                               # 'hllc' (physics_iso2d.hpp:704-712)
@@ -492,11 +493,16 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         return at
 
     # static per-run arrays, component-first + padded once
-    xcT = padT(xc)
-    xfT = padT(xf)
-    yfT = padT(yf)
     initT = padT(np.asarray(initial_conserved))
-    brP = jnp.pad(jnp.asarray(buffer_rate, dtype), [(0, pad), (0, 0), (0, 0)])
+    # per-block geometry scalars: cell (0,0) lower corner + spacing (the
+    # kernel rebuilds positions from iota); padded blocks sit far outside
+    # the domain so their (masked) sources stay harmless
+    x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+    y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+    geo = np.stack([x00, y00, spacing], axis=-1).reshape(B, 1, 3)
+    geo = np.pad(geo, [(0, pad), (0, 0), (0, 0)],
+                 constant_values=1.0) if pad else geo
+    geoP = jnp.asarray(geo, dtype)
     spP = jnp.asarray(
         np.pad(spacing, (0, pad), constant_values=1.0), dtype).reshape(Bp, 1, 1)
     bmask = jnp.asarray(
@@ -512,6 +518,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     cfg_flux = (cfg.softening_radius, cfg.mach_number, cfg.axisymmetric_cs2,
                 cfg.conserve_linear_p, cfg.alpha, cfg.alpha_cutoff_radius,
                 cfg.nu, cfg.domain_radius, cfg.riemann)
+    buffer_cfg = (cfg.buffer_damping_rate, cfg.domain_radius)
 
     fine0 = {f: jnp.asarray(nt.fine_id[:, f, 0]) for f in range(4)}
     fine1 = {f: jnp.asarray(nt.fine_id[:, f, 1]) for f in range(4)}
@@ -575,9 +582,9 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             jnp.concatenate([pyhi, Gyhi], axis=1)], axis=1))
         u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
             binary_advance.fused_advance_core(
-                padB(uT), padB(pT), padB(GT), strips,
-                xcT, xfT, yfT, initT, brP, spP, bmask, dt, bodies, K,
-                cfg_tuple, cfg_flux, interpret=interpret)
+                padB(uT), padB(pT), padB(GT), strips, geoP,
+                initT, spP, bmask, dt, bodies, K,
+                cfg_tuple, cfg_flux, buffer_cfg, interpret=interpret)
 
         # coarse-fine flux correction as an edge fixup: add
         # (restrict_extrinsic(fine fluxes) - own flux) * dt/dA at faces

@@ -225,6 +225,7 @@ def create_solver_data(cfg, leaves=None) -> SolverData:
         axisymmetric_cs2=bool(cfg.get_int("axisymmetric_cs2")),
         conserve_linear_p=conserve_linear_p,
         reconstruct_method=cfg.get_string("reconstruct_method"),
+        buffer_damping_rate=cfg.get_double("buffer_damping_rate"),
         riemann=cfg.get_string("riemann"))
     if scheme.reconstruct_method not in ("plm", "pcm"):
         raise ValueError(f"invalid reconstruct_method "
