@@ -211,9 +211,10 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     gdx = geo[:, :, 2][..., None]
 
     def iotas(ni, nj):
-        ii = jax.lax.broadcasted_iota(dtype, (1, ni, nj), 1)
-        jj = jax.lax.broadcasted_iota(dtype, (1, ni, nj), 2)
-        return ii, jj
+        # Mosaic's iota is integer-only; cast after
+        ii = jax.lax.broadcasted_iota(jnp.int32, (1, ni, nj), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, ni, nj), 2)
+        return ii.astype(dtype), jj.astype(dtype)
 
     ic, jc = iotas(bs, bs)
     x = gx0 + (ic + 0.5) * gdx           # cell centers [K, bs, bs]
