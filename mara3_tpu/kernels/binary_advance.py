@@ -173,7 +173,7 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, x, y, sp, bodies, axis,
     return fhat * sp
 
 
-def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
+def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
             geo_ref, init_ref, sp_ref, mask_ref,
             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
             *, cfg_tuple, cfg_flux, buffer_cfg):
@@ -189,17 +189,36 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     # boundary cost a relayout/copy tax, and separate strip operands cost
     # one small latency-bound DMA each per grid step
     p = p_ref[...]               # [K, C, bs, bs]
-    G = G_ref[...]               # [K, 2C, bs, bs]  (gx | gy)
     S = strips_ref[...]          # [K, 4, 3C, bs]
     C = p.shape[1]
     x_as = lambda a: a[:, :, None, :]         # [K, c, bs] -> row strip
     y_as = lambda a: a[..., None]             # [K, c, bs] -> column strip
     pex = jnp.concatenate([x_as(S[:, 0, :C]), p, x_as(S[:, 1, :C])], axis=2)
     pey = jnp.concatenate([y_as(S[:, 2, :C]), p, y_as(S[:, 3, :C])], axis=3)
-    Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
-    Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
     sp = sp_ref[...][..., None]          # [K, 1, 1, 1]
     mask = mask_ref[...][..., None]
+
+    # interior PLM gradients computed HERE (mathx/plm.py formula): the
+    # full-size gradient array never touches HBM, and XLA's pathological
+    # layouts for the 94-wide sliced fusions (plus the relayout copies at
+    # the pallas boundary) disappear with it
+    theta = theta_ref[0, 0]
+
+    def plm(yl, y0, yr):
+        a = (y0 - yl) * theta
+        b = (yr - yl) * 0.5
+        c = (yr - y0) * theta
+        sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
+        sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
+        sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
+        mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+        return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+
+    gx = plm(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:]) / sp
+    gy = plm(pey[:, :, :, :-2], pey[:, :, :, 1:-1], pey[:, :, :, 2:]) / sp
+    G = jnp.concatenate([gx, gy], axis=1)
+    Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
+    Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
 
     # positions from 3 per-block scalars + iota (the precomputed xc/xf/yf
     # arrays cost 6 floats/cell of HBM traffic and 3 DMA streams/step)
@@ -305,10 +324,9 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     div = (fx[:, :, 1:] - fx[:, :, :-1]) + (fy[:, :, :, 1:] - fy[:, :, :, :-1])
     u1_ref[...] = u0 - div * dt / dA + s
 
-    # ---- totals accumulator across grid steps --------------------------
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        totals_ref[...] = jnp.zeros_like(totals_ref)
+    # ---- totals: one [16, 128] row per grid step (summed by the caller;
+    # an in-kernel accumulator would force "arbitrary" grid semantics and
+    # disable megacore grid partitioning) ---------------------------------
 
     w = dA * mask   # [K,1,1,1]
 
@@ -349,12 +367,12 @@ def _kernel(dt_ref, bodies_ref, u0_ref, p_ref, G_ref, strips_ref,
     for r, k, v in entries:
         contrib = contrib + jnp.where(
             jnp.logical_and(rows == r, cols == k), v, 0.0)
-    totals_ref[...] += contrib
+    totals_ref[0] = contrib
 
 
-def fused_advance_core(u0T, pT, GT, strips, blockgeo,
-                       initT, spacing, bmask, dt, bodies, K, cfg_tuple,
-                       cfg_flux, buffer_cfg, interpret=False):
+def fused_advance_core(u0T, pT, strips, blockgeo,
+                       initT, spacing, bmask, dt, bodies, plm_theta, K,
+                       cfg_tuple, cfg_flux, buffer_cfg, interpret=False):
     """One pallas launch over chunks of K blocks. Tensor args are
     component-first [Bp, C, ., .]; strips = packed guard strips
     [Bp, 4, 3C, bs] (faces x-lo/x-hi/y-lo/y-hi; comps p | gx | gy);
@@ -366,6 +384,7 @@ def fused_advance_core(u0T, pT, GT, strips, blockgeo,
     grid = (Bp // K,)
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
     bodies_arr = jnp.asarray(bodies, dtype)
+    theta_arr = jnp.asarray(plm_theta, dtype).reshape(1, 1)
 
     def vspec(c, nx, ny):
         return pl.BlockSpec((K, c, nx, ny), lambda j: (j, 0, 0, 0),
@@ -385,9 +404,9 @@ def fused_advance_core(u0T, pT, GT, strips, blockgeo,
         in_specs=[
             smem,                                   # dt (1,1)
             smem,                                   # bodies (2,5)
+            smem,                                   # plm_theta (1,1)
             vspec(C, bs, bs),                       # u0
             vspec(C, bs, bs),                       # p
-            vspec(2 * C, bs, bs),                   # G
             vspec(4, 3 * C, bs),                    # packed guard strips
             vspec3(1, 3),                           # blockgeo (Bp, 1, 3)
             vspec(C, bs, bs),                       # init
@@ -397,7 +416,7 @@ def fused_advance_core(u0T, pT, GT, strips, blockgeo,
         out_specs=(
             vspec(C, bs, bs),
             vspec3(C, bs), vspec3(C, bs), vspec3(C, bs), vspec3(C, bs),
-            pl.BlockSpec((16, 128), lambda j: (0, 0),
+            pl.BlockSpec((1, 16, 128), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -406,11 +425,15 @@ def fused_advance_core(u0T, pT, GT, strips, blockgeo,
             jax.ShapeDtypeStruct((Bp, C, bs), dtype),
             jax.ShapeDtypeStruct((Bp, C, bs), dtype),
             jax.ShapeDtypeStruct((Bp, C, bs), dtype),
-            jax.ShapeDtypeStruct((16, 128), dtype),
+            jax.ShapeDtypeStruct((Bp // K, 16, 128), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
+        # u0 is consumed by the update only; writing u1 over its buffer
+        # saves one full-state copy per call
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(dt_arr, bodies_arr, u0T, pT, GT, strips, blockgeo,
+    )(dt_arr, bodies_arr, theta_arr, u0T, pT, strips, blockgeo,
       initT, spacing, bmask)
-    return out
+    u1T, fxlo, fxhi, fylo, fyhi, totals_steps = out
+    return u1T, fxlo, fxhi, fylo, fyhi, jnp.sum(totals_steps, axis=0)

@@ -343,20 +343,14 @@ def build_soa_guard(nt: NeighborTable, bs: int, dtype=np.float64):
     return Mh, Pf
 
 
-def guard_strips_soa(UT, nt: NeighborTable, consts, axis: int):
-    """(lo, hi) one-cell guard strips [B, C, bs] for component-first
-    blocks, via row gathers + one-hot matmuls (see build_soa_guard)."""
-    B, C, bs = UT.shape[0], UT.shape[1], UT.shape[3]
+def guard_strips_from_edges(E, nt: NeighborTable, consts, axis: int):
+    """(lo, hi) one-cell guard strips [B, C, bs] from a prebuilt edge
+    tensor E [B, C, 4, bs] holding rows/columns (0, 1, bs-2, bs-1) of every
+    block along `axis`, via row gathers + one-hot matmuls
+    (see build_soa_guard)."""
     Mh, Pf = consts
-    Mh = jnp.asarray(Mh, UT.dtype)
-    Pf = jnp.asarray(Pf, UT.dtype)
-
-    if axis == 0:
-        E = jnp.stack([UT[:, :, 0], UT[:, :, 1],
-                       UT[:, :, bs - 2], UT[:, :, bs - 1]], axis=2)
-    else:
-        E = jnp.stack([UT[:, :, :, 0], UT[:, :, :, 1],
-                       UT[:, :, :, bs - 2], UT[:, :, :, bs - 1]], axis=2)
+    Mh = jnp.asarray(Mh, E.dtype)
+    Pf = jnp.asarray(Pf, E.dtype)
 
     def guard(side):
         f = 2 * axis + side
@@ -382,6 +376,19 @@ def guard_strips_soa(UT, nt: NeighborTable, consts, axis: int):
                          jnp.where(case == 1, coarse, fine))
 
     return guard(0), guard(1)
+
+
+def guard_strips_soa(UT, nt: NeighborTable, consts, axis: int):
+    """(lo, hi) one-cell guard strips [B, C, bs] for component-first
+    blocks."""
+    bs = UT.shape[3]
+    if axis == 0:
+        E = jnp.stack([UT[:, :, 0], UT[:, :, 1],
+                       UT[:, :, bs - 2], UT[:, :, bs - 1]], axis=2)
+    else:
+        E = jnp.stack([UT[:, :, :, 0], UT[:, :, :, 1],
+                       UT[:, :, :, bs - 2], UT[:, :, :, bs - 1]], axis=2)
+    return guard_strips_from_edges(E, nt, consts, axis)
 
 
 def extend_blocks_fast_soa(UT, nt: NeighborTable, consts, axis: int):

@@ -546,32 +546,63 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 0)
         pylo, pyhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 1)
 
-        if cfg.reconstruct_method == "plm":
-            sp4 = sp_j[:, None, None, None]
-            sp3 = sp_j[:, None, None]
-            # gradients without materializing extended arrays: interior
-            # slopes from shifted slices, edge slopes from the guard strips
-            gxT = jnp.concatenate([
-                plm_gradient(pxlo, pT[:, :, 0], pT[:, :, 1],
-                             plm_theta)[:, :, None] / sp4,
-                plm_gradient(pT[:, :, :-2], pT[:, :, 1:-1], pT[:, :, 2:],
-                             plm_theta) / sp4,
-                plm_gradient(pT[:, :, -2], pT[:, :, -1], pxhi,
-                             plm_theta)[:, :, None] / sp4], axis=2)
-            gyT = jnp.concatenate([
-                (plm_gradient(pylo, pT[:, :, :, 0], pT[:, :, :, 1],
-                              plm_theta) / sp3)[..., None],
-                plm_gradient(pT[:, :, :, :-2], pT[:, :, :, 1:-1],
-                             pT[:, :, :, 2:], plm_theta) / sp4,
-                (plm_gradient(pT[:, :, :, -2], pT[:, :, :, -1], pyhi,
-                              plm_theta) / sp3)[..., None]], axis=3)
-        else:
-            gxT = jnp.zeros_like(pT)
-            gyT = jnp.zeros_like(pT)
+        # Gradients live INSIDE the kernel (kernels/binary_advance.py); the
+        # front half computes them only on the edge rows/columns that the
+        # guard exchange gathers from — so no full-size gradient array ever
+        # touches HBM. theta=0 (or pcm) zeroes the limited slopes.
+        theta_eff = (plm_theta if cfg.reconstruct_method == "plm"
+                     else jnp.zeros_like(jnp.asarray(plm_theta)))
+        sp3 = sp_j[:, None, None]
 
-        GT = jnp.concatenate([gxT, gyT], axis=1)
-        Gxlo, Gxhi = block_layout.guard_strips_soa(GT, nt, soa_consts, 0)
-        Gylo, Gyhi = block_layout.guard_strips_soa(GT, nt, soa_consts, 1)
+        def gx_at_rows(rows):
+            """x-slopes at the given rows, [B, C, len(rows), bs]."""
+            outs = []
+            for r in rows:
+                yl = pxlo if r == 0 else pT[:, :, r - 1]
+                yr = pxhi if r == bs - 1 else pT[:, :, r + 1]
+                outs.append(plm_gradient(yl, pT[:, :, r], yr, theta_eff)
+                            / sp3)
+            return jnp.stack(outs, axis=2)
+
+        def gy_at_rows(rows):
+            """y-slopes at the given rows (needs the y-guards there)."""
+            outs = []
+            for r in rows:
+                row = pT[:, :, r]                       # [B, C, bs]
+                ext = jnp.concatenate([pylo[:, :, r:r + 1], row,
+                                       pyhi[:, :, r:r + 1]], axis=2)
+                outs.append(plm_gradient(ext[:, :, :-2], ext[:, :, 1:-1],
+                                         ext[:, :, 2:], theta_eff) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        def gy_at_cols(cols):
+            outs = []
+            for c in cols:
+                yl = pylo if c == 0 else pT[:, :, :, c - 1]
+                yr = pyhi if c == bs - 1 else pT[:, :, :, c + 1]
+                outs.append(plm_gradient(yl, pT[:, :, :, c], yr, theta_eff)
+                            / sp3)
+            return jnp.stack(outs, axis=2)
+
+        def gx_at_cols(cols):
+            outs = []
+            for c in cols:
+                col = pT[:, :, :, c]                    # [B, C, bs]
+                ext = jnp.concatenate([pxlo[:, :, c:c + 1], col,
+                                       pxhi[:, :, c:c + 1]], axis=2)
+                outs.append(plm_gradient(ext[:, :, :-2], ext[:, :, 1:-1],
+                                         ext[:, :, 2:], theta_eff) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        edge = (0, 1, bs - 2, bs - 1)
+        E_G_x = jnp.concatenate([gx_at_rows(edge), gy_at_rows(edge)],
+                                axis=1)                 # [B, 2C, 4, bs]
+        E_G_y = jnp.concatenate([gx_at_cols(edge), gy_at_cols(edge)],
+                                axis=1)
+        Gxlo, Gxhi = block_layout.guard_strips_from_edges(
+            E_G_x, nt, soa_consts, 0)
+        Gylo, Gyhi = block_layout.guard_strips_from_edges(
+            E_G_y, nt, soa_consts, 1)
 
         padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
                           if pad else a)
@@ -582,8 +613,8 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             jnp.concatenate([pyhi, Gyhi], axis=1)], axis=1))
         u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
             binary_advance.fused_advance_core(
-                padB(uT), padB(pT), padB(GT), strips, geoP,
-                initT, spP, bmask, dt, bodies, K,
+                padB(uT), padB(pT), strips, geoP,
+                initT, spP, bmask, dt, bodies, theta_eff, K,
                 cfg_tuple, cfg_flux, buffer_cfg, interpret=interpret)
 
         # coarse-fine flux correction as an edge fixup: add
