@@ -176,7 +176,7 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, x, y, sp, bodies, axis,
 def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
             geo_ref, init_ref, sp_ref, mask_ref,
             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
-            *, cfg_tuple, cfg_flux, buffer_cfg):
+            g_scratch, *, cfg_tuple, cfg_flux, buffer_cfg):
     (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
      floor, gst2) = cfg_tuple
     buffer_damping_rate, buffer_radius = buffer_cfg
@@ -216,7 +216,12 @@ def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
 
     gx = plm(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:]) / sp
     gy = plm(pey[:, :, :, :-2], pey[:, :, :, 1:-1], pey[:, :, :, 2:]) / sp
-    G = jnp.concatenate([gx, gy], axis=1)
+    # round-trip through VMEM scratch: the slice-built gradients carry a
+    # (1,1) vector-layout offset, and Mosaic's lane-axis concatenate
+    # requires all operands at matching offsets on non-concat dims
+    # ("result/input offset mismatch on non-concat dimension")
+    g_scratch[...] = jnp.concatenate([gx, gy], axis=1)
+    G = g_scratch[...]
     Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
     Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
 
@@ -427,6 +432,7 @@ def fused_advance_core(u0T, pT, strips, blockgeo,
             jax.ShapeDtypeStruct((Bp, C, bs), dtype),
             jax.ShapeDtypeStruct((Bp // K, 16, 128), dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((K, 2 * C, bs, bs), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         # u0 is consumed by the update only; writing u1 over its buffer
