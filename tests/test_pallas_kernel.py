@@ -280,3 +280,48 @@ def test_chunked_advance_hllc_matches_jnp():
         sd.geometry, sd.initial_conserved, sd.buffer_rate, fused=False)
     u1h, _, _ = adv_hlle(sol.conserved, bodies, dt, sd.plm_theta)
     assert np.abs(np.asarray(u1h) - np.asarray(u1)).max() > 0.0
+
+
+def test_li_kernel_matches_jnp_scheme():
+    """Locally-isothermal (axisymmetric GM/r / Mach^2) kernel vs the jnp
+    scheme with cs^2 faces from the same wrapped positions
+    (kernels/iso2d_step_li.py; subprog_binary_scheme.cpp:160-175)."""
+    import mara3_tpu.kernels.iso2d_step_li as KLI
+
+    nx = ny = 256
+    u = random_state(nx, ny)
+    dx = 1.0 / nx
+    # domain [1, 2)^2: strictly positive radii
+    geom = (dx, 1.0, 1.0, 1.0, 1.0, 100.0, 1e-4)
+    dt, theta = 2e-4, 1.8
+
+    expected = KLI.step_periodic_li_jnp(u, geom, dt, theta)
+
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = KLI.pallas_step_li(usoa, G=1, geom=geom, dtdx=dt / dx,
+                                 dtdy=dt / dx, theta=theta, tile=(128, 128))
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_li_temporal_blocking_matches_sequential():
+    import mara3_tpu.kernels.iso2d_step_li as KLI
+
+    nx = ny = 128
+    u = random_state(nx, ny)
+    dx = 1.0 / nx
+    geom = (dx, 1.0, 1.0, 1.0, 1.0, 100.0, 1e-4)
+    dt, theta = 2e-4, 1.8
+
+    expected = u
+    for _ in range(4):
+        expected = KLI.step_periodic_li_jnp(expected, geom, dt, theta)
+
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = KLI.advance_n_pallas_li(usoa, 4, G=4, geom=geom, dtdx=dt / dx,
+                                      dtdy=dt / dx, theta=theta,
+                                      tile=(64, 128))
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-6, atol=1e-9)
