@@ -201,16 +201,24 @@ def new_solution(cfg) -> Solution:
 
     # the envelope model works in CGS; construction goes through the
     # unit-checked physics boundary: each quantity is tagged, divided by
-    # the matching reference unit, and verified dimensionless at trace time
+    # the matching reference unit, and verified dimensionless at trace time.
+    # CGS intermediates (r^3 ~ 1e39 cm^3, solar masses ~ 2e33 g) overflow
+    # float32, so the model is evaluated under a temporary x64 scope and
+    # only the O(1) code-unit ratios are cast back to the run dtype
+    from jax import enable_x64
+
     from mara3_tpu.core import dimensional as dim
     uq = units.quantities()
-    r_cm = rc * units.length
     temperature = 1e-6
-    density_cgs = dim.make_mass_density(
-        envelope.density_at(r_cm, jet_delay_time))
-    density = dim.require_dims(density_cgs / uq["mass_density"], 0, 0, 0,
-                               "code density")
-    gamma_beta = envelope.gamma_beta_at(r_cm, jet_delay_time)
+    with enable_x64():
+        r_cm = jnp.asarray(np.asarray(rc, np.float64)) * units.length
+        density_cgs = dim.make_mass_density(
+            envelope.density_at(r_cm, jet_delay_time))
+        density64 = dim.require_dims(density_cgs / uq["mass_density"],
+                                     0, 0, 0, "code density")
+        gamma_beta64 = envelope.gamma_beta_at(r_cm, jet_delay_time)
+    density = jnp.asarray(np.asarray(density64), rc.dtype)
+    gamma_beta = jnp.asarray(np.asarray(gamma_beta64), rc.dtype)
 
     nq = qv.shape[0] - 1
     rho = jnp.broadcast_to(density[:, None], (rc.shape[0], nq))

@@ -72,3 +72,20 @@ def test_cloud_solid_angle_sums_to_4pi(tmp_path):
     with h5py.File(tmp_path / "data" / "diagnostics.0000.h5") as f:
         omega = f["solid_angle_at_theta"][()]
     np.testing.assert_allclose(omega.sum(), 4 * np.pi, rtol=1e-10)
+
+
+def test_new_solution_finite_in_float32():
+    """The envelope model's CGS intermediates (r^3 ~ 1e39) overflow f32;
+    new_solution must evaluate the model in x64 and hand back finite
+    code-unit values in the run dtype (TPU runs are f32)."""
+    import jax
+    import numpy as np
+    from mara3_tpu.subprograms import cloud
+
+    with jax.enable_x64(False):
+        cfg = cloud.config_template().create().update({"nr": 64})
+        sol = cloud.new_solution(cfg)
+        u = np.asarray(sol.conserved)
+    assert u.dtype == np.float32
+    assert np.isfinite(u).all()
+    assert (u[..., 0] > 0).any()
