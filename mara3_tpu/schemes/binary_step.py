@@ -263,9 +263,12 @@ INFO_WIDTH = _off
 
 
 def _pack_info(info):
+    # f64 rows when x64 is live (CPU tests); f32 on TPU runs — asking for
+    # f64 without x64 only truncates with a warning per trace
+    ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     parts = []
     for name, w in _INFO_LAYOUT:
-        v = jnp.asarray(info[name], jnp.float64).reshape(-1)
+        v = jnp.asarray(info[name], ft).reshape(-1)
         parts.append(v)
     return jnp.concatenate(parts)
 
