@@ -194,8 +194,7 @@ def recover_primitive(U, gamma_law_index, temperature_floor=0.0,
         p, W, done, it = state
         return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
 
-    def body(state):
-        p, Wc, done, it = state
+    def one_update(p, Wc, done):
         W, f, g = newton_vars(p)
         p_next = p - f / g
         newly = jnp.abs(f) < ERROR_TOLERANCE
@@ -203,7 +202,20 @@ def recover_primitive(U, gamma_law_index, temperature_floor=0.0,
         # applies the p update before breaking
         p_out = jnp.where(done, p, p_next)
         W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
-        return p_out, W_out, jnp.logical_or(done, newly), it + 1
+        return p_out, W_out, jnp.logical_or(done, newly)
+
+    # CHUNK updates per while iteration: per-cell results are identical
+    # (frozen cells are untouched), but the all-cells-converged check and
+    # its loop-carried sync happen 5x less often — on TPU each while pass
+    # is a full-mesh kernel dispatch, which dominated the cloud step
+    CHUNK = 5
+    assert NEWTON_ITER_MAX % CHUNK == 0
+
+    def body(state):
+        p, Wc, done, it = state
+        for _ in range(CHUNK):
+            p, Wc, done = one_update(p, Wc, done)
+        return p, Wc, done, it + CHUNK
 
     p, W0, done, _ = jax.lax.while_loop(cond, body, (p0, W0, done0, 0))
 
