@@ -51,7 +51,13 @@ def orbital_period(e10):
 
 
 def _solve_kepler(ecc, M_anom):
-    """E - e sin E = M by Newton (model_two_body.hpp:131-160), bounded."""
+    """E - e sin E = M by Newton (model_two_body.hpp:131-160), bounded.
+
+    4 Newton updates per while pass (already-converged values are fixed
+    points of the update, so per-value results match the one-per-pass loop;
+    Newton on Kepler is quadratic — typically one pass suffices): each
+    while iteration is a dispatched kernel + loop sync on TPU, and the
+    fast flagship step runs this scalar solve several times per step."""
     def cond(carry):
         x, it = carry
         return jnp.logical_and(jnp.abs(x - ecc * jnp.sin(x) - M_anom) > 1e-10,
@@ -59,8 +65,10 @@ def _solve_kepler(ecc, M_anom):
 
     def body(carry):
         x, it = carry
-        y = x - ecc * jnp.sin(x) - M_anom
-        return x - y / (1.0 - ecc * jnp.cos(x)), it + 1
+        for _ in range(4):
+            y = x - ecc * jnp.sin(x) - M_anom
+            x = x - y / (1.0 - ecc * jnp.cos(x))
+        return x, it + 4
 
     x, _ = jax.lax.while_loop(cond, body, (M_anom, 0))
     return x
