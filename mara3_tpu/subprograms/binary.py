@@ -767,6 +767,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
     retry_step = None                      # built lazily (faults are rare)
     CHUNKS = (256, 64, 16, 4, 1)
     t_now = float(s["time"])
+    t_f64 = float(state.solution.time)     # float64 time anchor
     dt_est = None
     regrid_on = cfg.get_int("regrid") != 0
     rgi_t = cfg.get_double("rgi") * 2 * math.pi
@@ -830,6 +831,14 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
 
         if rows[:, IX["invalid"]].any():
             s, rows = repair(s_prev, rows)
+
+        # long-run time accuracy on f32 devices: the scan accumulates time
+        # in the run dtype; re-anchor it each chunk from a float64 host
+        # accumulation of the dt actually used (the reference carries time
+        # in double)
+        t_f64 += float(np.float64(rows[:, IX["dt"]]).sum())
+        if s["time"].dtype == np.float32:
+            s = {**s, "time": jnp.asarray(t_f64, s["time"].dtype)}
 
         for row in rows:
             schedule = mark_tasks(schedule, float(row[IX["time"]]),
