@@ -274,3 +274,138 @@ def primitive_from_quantities(mass_density, gamma_beta_1, gamma_beta_2,
     u3 = require_dims(gamma_beta_3, 0, 0, 0, "gamma_beta_3")
     p = require_dims(gas_pressure, -1, 1, -2, "gas_pressure")
     return jnp.stack(jnp.broadcast_arrays(rho, u1, u2, u3, p), axis=-1)
+
+
+# -----------------------------------------------------------------------------
+# SoA (tuple-of-components) forms of the same physics. Identical formulas
+# and evaluation order per cell; states are 5-tuples of component arrays.
+# On TPU the tuple form removes every stack/concatenate from the hot DAG,
+# so XLA fuses whole flux chains instead of materializing [..., 5]
+# intermediates (measured 2x+ on the cloud advance). Used by the cloud
+# subprogram's advance; the stacked API above remains the public surface.
+# -----------------------------------------------------------------------------
+
+def unstack(P):
+    """[..., 5] -> 5-tuple of component arrays."""
+    return tuple(P[..., k] for k in range(NUM_COMPONENTS))
+
+
+def stack(Pt):
+    return jnp.stack(Pt, axis=-1)
+
+
+def lorentz_factor_t(Pt):
+    return jnp.sqrt(1.0 + Pt[1] ** 2 + Pt[2] ** 2 + Pt[3] ** 2)
+
+
+def to_conserved_density_t(Pt, gamma_law_index):
+    rho, u1, u2, u3, p = Pt
+    W = lorentz_factor_t(Pt)
+    # h = enthalpy_density / rho, spelled as the stacked path rounds it
+    h = (rho + p * (1.0 + 1.0 / (gamma_law_index - 1.0))) / rho
+    D = rho * W
+    return (D, D * u1 * h, D * u2 * h, D * u3 * h, D * h * W - p - D)
+
+
+def wavespeeds_t(Pt, nhat, gamma_law_index):
+    rho, u1, u2, u3, p = Pt
+    n1, n2, n3 = nhat
+    W = lorentz_factor_t(Pt)
+    c2 = gamma_law_index * p / (rho + p * (1.0 + 1.0
+                                           / (gamma_law_index - 1.0)))
+    vn = (n1 * u1 + n2 * u2 + n3 * u3) / W
+    uu = u1 ** 2 + u2 ** 2 + u3 ** 2
+    vv = uu / (1.0 + uu)
+    v2 = vn * vn
+    k0 = jnp.sqrt(c2 * (1.0 - vv) * (1.0 - vv * c2 - v2 * (1.0 - c2)))
+    return ((vn * (1.0 - c2) - k0) / (1.0 - vv * c2),
+            (vn * (1.0 - c2) + k0) / (1.0 - vv * c2))
+
+
+def flux_t(Pt, nhat, Ut):
+    rho, u1, u2, u3, p = Pt
+    n1, n2, n3 = nhat
+    W = lorentz_factor_t(Pt)
+    v = (n1 * u1 + n2 * u2 + n3 * u3) / W
+    return (v * Ut[0], v * Ut[1] + p * n1, v * Ut[2] + p * n2,
+            v * Ut[3] + p * n3, v * Ut[4] + p * v)
+
+
+def riemann_hlle_t(Plt, Prt, nhat, gamma_law_index):
+    """HLLE on tuples (physics_srhd.hpp:466-490)."""
+    Ul = to_conserved_density_t(Plt, gamma_law_index)
+    Ur = to_conserved_density_t(Prt, gamma_law_index)
+    alm, alp = wavespeeds_t(Plt, nhat, gamma_law_index)
+    arm, arp = wavespeeds_t(Prt, nhat, gamma_law_index)
+    Fl = flux_t(Plt, nhat, Ul)
+    Fr = flux_t(Prt, nhat, Ur)
+    ap = jnp.maximum(0.0, jnp.maximum(alp, arp))
+    am = jnp.minimum(0.0, jnp.minimum(alm, arm))
+    return tuple((fl * ap - fr * am - (ul - ur) * ap * am) / (ap - am)
+                 for fl, fr, ul, ur in zip(Fl, Fr, Ul, Ur))
+
+
+def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0):
+    """Tuple form of recover_primitive (same masked chunked Newton)."""
+    gm = gamma_law_index
+    D, S1, S2, S3, tau = Ut
+    SS = S1 ** 2 + S2 ** 2 + S3 ** 2
+
+    p0 = jnp.zeros_like(D)
+    W0 = jnp.ones_like(D)
+    done0 = jnp.zeros_like(D, dtype=bool)
+
+    def newton_vars(p):
+        v2 = jnp.minimum(SS / (tau + D + p) ** 2, 1.0 - 1e-10)
+        W2 = 1.0 / (1.0 - v2)
+        W = jnp.sqrt(W2)
+        e = (tau + D * (1.0 - W) + p * (1.0 - W2)) / (D * W)
+        d = D / W
+        h = 1.0 + e + p / d
+        cs2 = gm * p / (d * h)
+        f = d * e * (gm - 1.0) - p
+        g = v2 * cs2 - 1.0
+        return W, f, g
+
+    def cond(state):
+        p, W, done, it = state
+        return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
+
+    def one_update(p, Wc, done):
+        W, f, g = newton_vars(p)
+        p_next = p - f / g
+        newly = jnp.abs(f) < ERROR_TOLERANCE
+        p_out = jnp.where(done, p, p_next)
+        W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
+        return p_out, W_out, jnp.logical_or(done, newly)
+
+    CHUNK = 5
+
+    def body(state):
+        p, Wc, done, it = state
+        for _ in range(CHUNK):
+            p, Wc, done = one_update(p, Wc, done)
+        return p, Wc, done, it + CHUNK
+
+    p, W0, done, _ = jax.lax.while_loop(cond, body, (p0, W0, done0, 0))
+
+    if temperature_floor > 0.0:
+        p = jnp.maximum(p, temperature_floor * D / W0)
+
+    denom = tau + D + p
+    return (D / W0, W0 * S1 / denom, W0 * S2 / denom, W0 * S3 / denom, p)
+
+
+def spherical_geometry_source_terms_t(Pt, spherical_radius,
+                                      polar_angle_theta, gamma_law_index):
+    rho, ur, uq, up, pg = Pt
+    cotq = jnp.tan(jnp.pi / 2 - polar_angle_theta)
+    H = rho + pg * (1.0 + 1.0 / (gamma_law_index - 1.0))
+    r = spherical_radius
+    z = jnp.zeros(jnp.broadcast_shapes(jnp.shape(pg), jnp.shape(r)),
+                  dtype=pg.dtype)
+    return (z,
+            (2.0 * pg + H * (uq * uq + up * up)) / r,
+            (cotq * pg + H * (up * up * cotq - ur * uq)) / r,
+            -up * H * (ur + uq * cotq) / r,
+            z)

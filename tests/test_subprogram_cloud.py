@@ -89,3 +89,33 @@ def test_new_solution_finite_in_float32():
     assert u.dtype == np.float32
     assert np.isfinite(u).all()
     assert (u[..., 0] > 0).any()
+
+
+def test_tuple_advance_matches_stacked():
+    """The tuple-form hot path (_advance_once) must reproduce the stacked
+    reference-semantics advance (_advance_once_stacked) exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mara3_tpu.core import ops
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update({"nr": 48})
+    state = cloud.new_solution(cfg)
+    rv, qv = state.radial_vertices, state.polar_vertices
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cloud.cell_volumes(rv, qv),
+                cloud.radial_face_areas(rv, qv),
+                cloud.polar_face_areas(rv, qv))
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+
+    for method in (1, 2):
+        a = cloud._advance_once_stacked(state.conserved, 0.0, geometry,
+                                        jet_static, dt, 1.5, method, 1e-6)
+        b = cloud._advance_once(state.conserved, 0.0, geometry,
+                                jet_static, dt, 1.5, method, 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-14, atol=0.0)
