@@ -281,3 +281,63 @@ def conserved_quantities(U):
         "momentum_density_3": make_quantity(U[..., 3], -2, 1, -1),
         "energy_density": make_quantity(U[..., 4], -1, 1, -2),
     }
+
+
+# -----------------------------------------------------------------------------
+# SoA (tuple-of-components) forms — identical formulas and per-cell rounding
+# to the stacked API above, with states as 5-tuples of component arrays so
+# no stack/concatenate sits in a hot jit DAG (XLA fuses whole flux chains).
+# Used by the sedov subprogram's fused advance loop.
+# -----------------------------------------------------------------------------
+
+def to_conserved_density_t(Pt, gamma_law_index):
+    d, v1, v2, v3, p = Pt
+    return (d, d * v1, d * v2, d * v3,
+            0.5 * d * (v1 ** 2 + v2 ** 2 + v3 ** 2)
+            + p / (gamma_law_index - 1.0))
+
+
+def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0):
+    d, m1, m2, m3, E = Ut
+    p_squared = m1 ** 2 + m2 ** 2 + m3 ** 2
+    pressure = (E - 0.5 * p_squared / d) * (gamma_law_index - 1.0)
+    if temperature_floor > 0.0:
+        pressure = jnp.where(pressure < 0.0, temperature_floor * d, pressure)
+    return (d, m1 / d, m2 / d, m3 / d, pressure)
+
+
+def flux_t(Pt, nhat, Ut):
+    d, v1, v2, v3, p = Pt
+    n1, n2, n3 = nhat
+    v = n1 * v1 + n2 * v2 + n3 * v3
+    return (v * Ut[0], v * Ut[1] + p * n1, v * Ut[2] + p * n2,
+            v * Ut[3] + p * n3, v * Ut[4] + p * v)
+
+
+def wavespeeds_t(Pt, nhat, gamma_law_index):
+    d, v1, v2, v3, p = Pt
+    n1, n2, n3 = nhat
+    cs = jnp.sqrt(gamma_law_index * p / d)
+    vn = n1 * v1 + n2 * v2 + n3 * v3
+    return vn - cs, vn + cs
+
+
+def riemann_hlle_t(Plt, Prt, nhat, gamma_law_index):
+    """HLLE on tuples (physics_euler.hpp:614-640)."""
+    Ul = to_conserved_density_t(Plt, gamma_law_index)
+    Ur = to_conserved_density_t(Prt, gamma_law_index)
+    alm, alp = wavespeeds_t(Plt, nhat, gamma_law_index)
+    arm, arp = wavespeeds_t(Prt, nhat, gamma_law_index)
+    Fl = flux_t(Plt, nhat, Ul)
+    Fr = flux_t(Prt, nhat, Ur)
+    ap = jnp.maximum(0.0, jnp.maximum(alp, arp))
+    am = jnp.minimum(0.0, jnp.minimum(alm, arm))
+    return tuple((fl * ap - fr * am - (ul - ur) * ap * am) / (ap - am)
+                 for fl, fr, ul, ur in zip(Fl, Fr, Ul, Ur))
+
+
+def spherical_geometry_source_terms_radial_t(Pt, spherical_radius,
+                                             gamma_law_index):
+    d, v1, vq, v3, pg = Pt
+    z = jnp.zeros_like(pg)
+    return (z, (2.0 * pg + d * vq * vq) / spherical_radius, z, z, z)

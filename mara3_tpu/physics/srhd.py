@@ -409,3 +409,11 @@ def spherical_geometry_source_terms_t(Pt, spherical_radius,
             (cotq * pg + H * (up * up * cotq - ur * uq)) / r,
             -up * H * (ur + uq * cotq) / r,
             z)
+
+
+def spherical_geometry_source_terms_radial_t(Pt, spherical_radius,
+                                             gamma_law_index):
+    rho, ur, uq, up, pg = Pt
+    H = rho + pg * (1.0 + 1.0 / (gamma_law_index - 1.0))
+    z = jnp.zeros_like(pg)
+    return (z, (2.0 * pg + H * uq * uq) / spherical_radius, z, z, z)

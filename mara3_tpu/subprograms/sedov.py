@@ -43,6 +43,7 @@ from mara3_tpu.app.config import ConfigTemplate
 from mara3_tpu.app.schedule import Schedule, mark_tasks
 from mara3_tpu.app.subprogram import register
 from mara3_tpu.core import ops
+from mara3_tpu.mathx.plm import plm_gradient
 from mara3_tpu.mathx.polynomial import parabola_vertex
 from mara3_tpu.mathx.shock import (find_index_of_maximum_behind,
                                    find_index_of_pressure_plateau_ahead,
@@ -211,7 +212,10 @@ def _face_states(P, reconstruct: str, plm_theta: float):
     return Pe[:-1], Pe[1:]
 
 
-def _step(system, u0, vertices, dt, reconstruct="pcm", plm_theta=1.5):
+def _step_stacked(system, u0, vertices, dt, reconstruct="pcm",
+                  plm_theta=1.5):
+    """Stacked-state step: the weno5 path and the equivalence oracle for
+    the tuple-form step below."""
     dv = cell_volumes(vertices)
     da = face_areas(vertices)
     rc = ops.midpoint_on_axis(vertices)
@@ -224,6 +228,47 @@ def _step(system, u0, vertices, dt, reconstruct="pcm", plm_theta=1.5):
     F = system.riemann_hlle(L, R, (1.0, 0.0, 0.0), GAMMA_LAW_INDEX)
     l0 = -ops.difference_on_axis(F * da[:, None])
     return u0 + (l0 + s0) * dt
+
+
+_REFLECT_SIGNS = (1.0, -1.0, 1.0, 1.0, 1.0)
+
+
+def _step(system, u0, vertices, dt, reconstruct="pcm", plm_theta=1.5):
+    """Tuple-form step: identical formulas/rounding to _step_stacked with
+    the state carried as 5 component arrays, so no stack/concatenate sits
+    in the fused advance loop (the stacked path materializes ~8 full-size
+    [nr, 5] intermediates per step on TPU)."""
+    if reconstruct == "weno5":
+        return _step_stacked(system, u0, vertices, dt, reconstruct,
+                             plm_theta)
+    dv = cell_volumes(vertices)
+    da = face_areas(vertices)
+    rc = ops.midpoint_on_axis(vertices)
+
+    Ut = tuple(u0[:, k] / dv for k in range(5))
+    Pt = system.recover_primitive_t(Ut, GAMMA_LAW_INDEX, 0.0)
+    s0 = system.spherical_geometry_source_terms_radial_t(
+        Pt, rc, GAMMA_LAW_INDEX)
+
+    def faces_1(c, sign):
+        # reflecting inner (velocity sign flip) + zero-gradient outer,
+        # matching _extend_bc with g guards per side
+        if reconstruct == "plm":
+            ce = jnp.concatenate([(c[:2] * sign)[::-1], c, c[-1:], c[-1:]])
+            grad = plm_gradient(ce[:-2], ce[1:-1], ce[2:], plm_theta)
+            L = (ce[1:-1] + 0.5 * grad)[:-1]
+            R = (ce[1:-1] - 0.5 * grad)[1:]
+            return L, R
+        ce = jnp.concatenate([c[:1] * sign, c, c[-1:]])
+        return ce[:-1], ce[1:]
+
+    LR = [faces_1(c, s) for c, s in zip(Pt, _REFLECT_SIGNS)]
+    F = system.riemann_hlle_t(tuple(l for l, _ in LR),
+                              tuple(r for _, r in LR),
+                              (1.0, 0.0, 0.0), GAMMA_LAW_INDEX)
+    return jnp.stack(
+        [u0[:, k] + (-(F[k][1:] * da[1:] - F[k][:-1] * da[:-1])
+                     + s0[k] * dv) * dt for k in range(5)], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("newtonian", "num_steps", "reconstruct",

@@ -177,3 +177,24 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
                                rtol=1e-10)
     # but a genuinely different (sharper) solution near the blast
     assert np.abs(u_hi - u_lo).max() > 1e-3
+
+
+def test_sedov_tuple_step_matches_stacked():
+    """The tuple-form sedov step must reproduce the stacked step exactly
+    for pcm and plm, euler and srhd."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mara3_tpu.physics import euler, srhd
+    from mara3_tpu.subprograms import sedov
+
+    cfg = sedov.config_template().create().update({"nr": 128})
+    state = sedov.new_solution(cfg)
+    dt = sedov.grid_dt(state.vertices)
+    for system in (euler, srhd):
+        for rec in ("pcm", "plm"):
+            a = sedov._step_stacked(system, state.conserved, state.vertices,
+                                    dt, rec, 1.5)
+            b = sedov._step(system, state.conserved, state.vertices,
+                            dt, rec, 1.5)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-14, atol=0.0)
