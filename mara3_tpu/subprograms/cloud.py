@@ -352,15 +352,18 @@ def _face_states_1(c, axis, plm_theta, method):
 
 
 def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
-                  method: int, temperature_floor: float):
+                  method: int, temperature_floor: float, p_guess=None,
+                  return_pressure=False):
     """Tuple-form advance: same formulas and per-cell evaluation order as
     _advance_once_stacked, with the state carried as 5 component arrays so
     no stack/concatenate sits in the hot DAG (XLA then fuses whole flux
-    chains; measured a large win on TPU at cloud sizes)."""
+    chains; measured a large win on TPU at cloud sizes). p_guess
+    warm-starts the SRHD pressure Newton (see recover_primitive_t)."""
     rv, qv, rc, qc, dv, dAr, dAq = geometry
 
     Ut = tuple(u0[..., k] / dv for k in range(5))
-    Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor)
+    Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
+                                  p_guess)
     s0 = srhd.spherical_geometry_source_terms_t(
         Pt, rc[:, None], qc[None, :], GAMMA_LAW_INDEX)
 
@@ -385,9 +388,12 @@ def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
     lq = tuple(-(ops.difference_on_axis(jnp.pad(f, ((0, 0), (1, 1))) * dAq,
                                         1)) for f in Fq)
 
-    return jnp.stack(
+    u1 = jnp.stack(
         [u0[..., k] + (lr[k] + lq[k] + s0[k] * dv) * dt for k in range(5)],
         axis=-1)
+    if return_pressure:
+        return u1, Pt[4]
+    return u1
 
 
 @partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta", "method",
@@ -399,14 +405,18 @@ def _advance_rk(u0, t, rv, qv, jet_static, dt: float, plm_theta: float,
     geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
                 radial_face_areas(rv, qv), polar_face_areas(rv, qv))
 
-    def once(u, t_):
+    def once(u, t_, p_guess=None):
         return _advance_once(u, t_, geometry, jet_static, dt, plm_theta,
-                             method, temperature_floor)
+                             method, temperature_floor, p_guess,
+                             return_pressure=True)
 
+    # later stages warm-start the pressure Newton from the previous
+    # stage's recovery (converged to the same 1e-10 either way)
     if rk_order == 1:
-        return once(u0, t)
-    u1 = once(u0, t)
-    u2 = once(u1, t + dt)
+        u1, _ = once(u0, t)
+        return u1
+    u1, p1 = once(u0, t)
+    u2, _ = once(u1, t + dt, p1)
     return 0.5 * u0 + 0.5 * u2   # subprog_cloud.cpp:687-692
 
 
