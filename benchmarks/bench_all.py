@@ -128,15 +128,17 @@ def bench_cloud(repeat):
     theta = cfg.get_double("plm_theta")
     tf = cfg.get_double("temperature_floor")
 
+    p0 = jnp.zeros(state.conserved.shape[:-1], state.conserved.dtype)
+
     @partial(jax.jit, static_argnames=("n",))
     def f(n: int):
         def body(i, carry):
-            u, t = carry
-            u1 = cloud._advance_rk(u, t, rv, qv, jet_static, dt, theta,
-                                   1, tf, 2)
-            return u1, t + dt
-        u, _ = jax.lax.fori_loop(0, n, body,
-                                 (state.conserved, state.time))
+            u, p, t = carry
+            u1, p1 = cloud._advance_rk_carry(u, p, t, rv, qv, jet_static,
+                                             dt, theta, 1, tf, 2)
+            return u1, p1, t + dt
+        u, _, _ = jax.lax.fori_loop(0, n, body,
+                                    (state.conserved, p0, state.time))
         return u
 
     zps, per = _marginal(f, nz, 5, 45, repeat)

@@ -420,6 +420,31 @@ def _advance_rk(u0, t, rv, qv, jet_static, dt: float, plm_theta: float,
     return 0.5 * u0 + 0.5 * u2   # subprog_cloud.cpp:687-692
 
 
+@partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta",
+                                   "method", "temperature_floor",
+                                   "rk_order"))
+def _advance_rk_carry(u0, p_prev, t, rv, qv, jet_static, dt: float,
+                      plm_theta: float, method: int,
+                      temperature_floor: float, rk_order: int):
+    """_advance_rk with the recovered pressure carried across steps, so
+    every stage's Newton warm-starts (driver loops thread (u, p))."""
+    rc = ops.midpoint_on_axis(rv)
+    qc = ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
+                radial_face_areas(rv, qv), polar_face_areas(rv, qv))
+
+    def once(u, t_, p_guess):
+        return _advance_once(u, t_, geometry, jet_static, dt, plm_theta,
+                             method, temperature_floor, p_guess,
+                             return_pressure=True)
+
+    u1, p1 = once(u0, t, p_prev)
+    if rk_order == 1:
+        return u1, p1
+    u2, p2 = once(u1, t + dt, p1)
+    return 0.5 * u0 + 0.5 * u2, p2
+
+
 def next_solution(state: Solution, cfg) -> Solution:
     dr_min = float(state.radial_vertices[1] - state.radial_vertices[0])
     dt = dr_min * cfg.get_double("cfl_number")

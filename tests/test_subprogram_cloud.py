@@ -119,3 +119,28 @@ def test_tuple_advance_matches_stacked():
                                 jet_static, dt, 1.5, method, 1e-6)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-14, atol=0.0)
+
+
+def test_advance_rk_carry_matches_advance_rk():
+    """From a zero pressure carry, _advance_rk_carry's first step is
+    identical to _advance_rk (cold stage 1 + stage-warmed stage 2)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update({"nr": 48})
+    state = cloud.new_solution(cfg)
+    rv, qv = state.radial_vertices, state.polar_vertices
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+
+    a = cloud._advance_rk(state.conserved, 0.0, rv, qv, jet_static,
+                          dt, 1.5, 2, 1e-6, 2)
+    p0 = jnp.zeros(state.conserved.shape[:-1], state.conserved.dtype)
+    b, p1 = cloud._advance_rk_carry(state.conserved, p0, 0.0, rv, qv,
+                                    jet_static, dt, 1.5, 2, 1e-6, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    assert np.isfinite(np.asarray(p1)).all()
