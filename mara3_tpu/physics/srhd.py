@@ -194,10 +194,19 @@ def recover_primitive(U, gamma_law_index, temperature_floor=0.0,
         p, W, done, it = state
         return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
 
+    # dtype-aware tolerance: the reference's 1e-10 absolute bound
+    # (physics_srhd.hpp:371) assumes double precision; in float32 a cell
+    # with p >~ 2e-3 can NEVER satisfy it (|f| floors at ~eps*p), and one
+    # such cell forces the while loop through all 50 iterations over the
+    # whole mesh. In f64 the relative term is ~2e-15*p — inert below the
+    # reference bound for code-unit pressures — so f64 semantics and the
+    # parity tests are unchanged.
+    eps_rel = 8.0 * jnp.finfo(D.dtype).eps
+
     def one_update(p, Wc, done):
         W, f, g = newton_vars(p)
         p_next = p - f / g
-        newly = jnp.abs(f) < ERROR_TOLERANCE
+        newly = jnp.abs(f) < ERROR_TOLERANCE + eps_rel * jnp.abs(p)
         # frozen once done; on the converging step the reference still
         # applies the p update before breaking
         p_out = jnp.where(done, p, p_next)
@@ -379,10 +388,13 @@ def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0,
         p, W, done, it = state
         return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
 
+    # dtype-aware tolerance (see recover_primitive)
+    eps_rel = 8.0 * jnp.finfo(D.dtype).eps
+
     def one_update(p, Wc, done):
         W, f, g = newton_vars(p)
         p_next = p - f / g
-        newly = jnp.abs(f) < ERROR_TOLERANCE
+        newly = jnp.abs(f) < ERROR_TOLERANCE + eps_rel * jnp.abs(p)
         p_out = jnp.where(done, p, p_next)
         W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
         return p_out, W_out, jnp.logical_or(done, newly)
