@@ -195,18 +195,20 @@ def recover_primitive(U, gamma_law_index, temperature_floor=0.0,
         return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
 
     # dtype-aware tolerance: the reference's 1e-10 absolute bound
-    # (physics_srhd.hpp:371) assumes double precision; in float32 a cell
-    # with p >~ 2e-3 can NEVER satisfy it (|f| floors at ~eps*p), and one
-    # such cell forces the while loop through all 50 iterations over the
-    # whole mesh. In f64 the relative term is ~2e-15*p — inert below the
-    # reference bound for code-unit pressures — so f64 semantics and the
-    # parity tests are unchanged.
+    # (physics_srhd.hpp:371) assumes double precision. f is a small
+    # difference of the O(tau + D + p) terms inside e, so in finite
+    # precision |f| floors at ~eps * (tau + D + p) from cancellation; in
+    # float32 a single cell above that floor forces the while loop through
+    # all 50 iterations over the whole mesh (measured on the cloud run).
+    # In f64 the relative term is ~2e-15 * scale — inert below the
+    # reference bound for code-unit states — so parity is unchanged.
     eps_rel = 8.0 * jnp.finfo(D.dtype).eps
+    f_floor = eps_rel * (jnp.abs(tau) + D)
 
     def one_update(p, Wc, done):
         W, f, g = newton_vars(p)
         p_next = p - f / g
-        newly = jnp.abs(f) < ERROR_TOLERANCE + eps_rel * jnp.abs(p)
+        newly = jnp.abs(f) < ERROR_TOLERANCE + f_floor + eps_rel * jnp.abs(p)
         # frozen once done; on the converging step the reference still
         # applies the p update before breaking
         p_out = jnp.where(done, p, p_next)
@@ -390,11 +392,12 @@ def recover_primitive_t(Ut, gamma_law_index, temperature_floor=0.0,
 
     # dtype-aware tolerance (see recover_primitive)
     eps_rel = 8.0 * jnp.finfo(D.dtype).eps
+    f_floor = eps_rel * (jnp.abs(tau) + D)
 
     def one_update(p, Wc, done):
         W, f, g = newton_vars(p)
         p_next = p - f / g
-        newly = jnp.abs(f) < ERROR_TOLERANCE + eps_rel * jnp.abs(p)
+        newly = jnp.abs(f) < ERROR_TOLERANCE + f_floor + eps_rel * jnp.abs(p)
         p_out = jnp.where(done, p, p_next)
         W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
         return p_out, W_out, jnp.logical_or(done, newly)

@@ -69,3 +69,33 @@ def test_conserved_energy_positive():
     U = srhd.to_conserved_density(P, GAMMA)
     assert bool(jnp.all(U[..., 0] > 0.0))
     assert bool(jnp.all(U[..., 4] > 0.0))
+
+
+def test_recovery_converges_in_float32():
+    """The dtype-aware tolerance must let float32 recovery converge (the
+    reference's 1e-10 absolute bound sits below the f32 cancellation floor
+    for p >~ 1e-3, which forced the full 50-iteration loop)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mara3_tpu.physics import srhd
+
+    with jax.enable_x64(False):
+        rng = np.random.RandomState(7)
+        rho = (1.0 + rng.rand(64, 64)).astype(np.float32)
+        u1 = (0.5 * rng.randn(64, 64)).astype(np.float32)
+        p = (10.0 ** rng.uniform(-6, 2, (64, 64))).astype(np.float32)
+        z = np.zeros_like(rho)
+        P = jnp.stack([rho, u1, z, z, p], axis=-1)
+        U = srhd.to_conserved_density(P, 4.0 / 3.0)
+        P2, fault = srhd.recover_primitive(U, 4.0 / 3.0, return_fault=True)
+        # the essential property: every cell converges (no fault, no
+        # 50-iteration runaway); round-trip accuracy is f32-cancellation
+        # limited, so the value check is loose
+        assert not bool(jnp.any(fault))
+        np.testing.assert_allclose(np.asarray(P2)[..., 0], rho, rtol=1e-2)
+        # per-cell tolerance: recovering p costs a cancellation against the
+        # O(tau + D) conserved scale, so the absolute floor tracks it
+        scale = np.abs(np.asarray(U)[..., 4]) + np.asarray(U)[..., 0]
+        err = np.abs(np.asarray(P2)[..., 4] - p)
+        assert (err <= 5e-2 * p + 8 * np.finfo(np.float32).eps * scale).all()
