@@ -100,7 +100,12 @@ def main():
         tile = tuple(int(x) for x in tilestr.split("x"))
         try:
             f, G, bpz, red = build_case(case, tile, n)
-            n1, n2 = 2 * G, 14 * G
+            # spans long enough that the marginal dwarfs tunnel noise
+            # (~50 ms): >= 100 steps apart
+            n1 = max(5 * G, 20)
+            n1 -= n1 % G
+            n2 = n1 + max(120, 30 * G)
+            n2 -= n2 % G
             zps, per = _measure(f, u, zones, n1, n2, repeat)
             print(json.dumps({
                 "case": case, "tile": tile, "n": n, "zps": zps,
