@@ -1,0 +1,233 @@
+"""Fused flux+update kernel for the cloud subprogram (SRHD r-theta).
+
+One pallas launch per RK stage covers everything after primitive recovery
+(the jnp reference is subprograms/cloud._flux_update, itself the tuple-form
+port of subprog_cloud.cpp:511-583): PLM face states on both axes, HLLE
+fluxes, spherical-geometry sources, and the conservative update — with no
+HBM round-trips for the ~40 full-mesh intermediates the jnp graph
+materializes.
+
+Layout and tiling:
+- States ride SoA [5, NR, NQ] with theta on the lane axis (NQ is a
+  multiple of 128); the grid is 1-D over radial tiles of TX rows.
+- The BC-extended primitives arrive via an aligned manual-DMA over-fetch
+  (iso2d_step.py v1 pattern): Pe2 = [1 zero row; inflow row; P; outer
+  zero-gradient row; zero tail] so each tile's fetch of TX+8 rows starting
+  at i*TX (8-aligned) covers the PLM stencil context.
+- theta-axis neighbor access uses lane rolls + edge masks instead of
+  concatenation (Mosaic's lane concat is fragile for width-1 operands);
+  the PLM gradient is zeroed at the physical pole edges and the polar flux
+  is zeroed at both pole faces, exactly as the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GAMMA = 4.0 / 3.0
+
+
+def _plm(yl, y0, yr, theta):
+    a = (y0 - yl) * theta
+    b = (yr - yl) * 0.5
+    c = (yr - y0) * theta
+    sa = jnp.where(a >= 0, 1.0, -1.0)
+    sb = jnp.where(b >= 0, 1.0, -1.0)
+    sc = jnp.where(c >= 0, 1.0, -1.0)
+    mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+    return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+
+
+def _hlle_t(Pl, Pr, axis):
+    """Tuple HLLE along r (axis=0) or theta (axis=1) normals
+    (physics/srhd.py riemann_hlle_t with nhat inlined)."""
+    def conserved(P):
+        rho, u1, u2, u3, p = P
+        W = jnp.sqrt(1.0 + u1 * u1 + u2 * u2 + u3 * u3)
+        h = (rho + p * (1.0 + 1.0 / (GAMMA - 1.0))) / rho
+        D = rho * W
+        return (D, D * u1 * h, D * u2 * h, D * u3 * h,
+                D * h * W - p - D), W
+
+    def wavespeeds(P, W):
+        rho, u1, u2, u3, p = P
+        c2 = GAMMA * p / (rho + p * (1.0 + 1.0 / (GAMMA - 1.0)))
+        un = u1 if axis == 0 else u2
+        vn = un / W
+        uu = u1 * u1 + u2 * u2 + u3 * u3
+        vv = uu / (1.0 + uu)
+        v2 = vn * vn
+        k0 = jnp.sqrt(c2 * (1.0 - vv) * (1.0 - vv * c2 - v2 * (1.0 - c2)))
+        return ((vn * (1.0 - c2) - k0) / (1.0 - vv * c2),
+                (vn * (1.0 - c2) + k0) / (1.0 - vv * c2))
+
+    def flux(P, U, W):
+        rho, u1, u2, u3, p = P
+        un = u1 if axis == 0 else u2
+        v = un / W
+        f = [v * U[0], v * U[1], v * U[2], v * U[3], v * U[4] + p * v]
+        f[1 + axis] = f[1 + axis] + p
+        return tuple(f)
+
+    Ul, Wl = conserved(Pl)
+    Ur, Wr = conserved(Pr)
+    alm, alp = wavespeeds(Pl, Wl)
+    arm, arp = wavespeeds(Pr, Wr)
+    Fl = flux(Pl, Ul, Wl)
+    Fr = flux(Pr, Ur, Wr)
+    ap = jnp.maximum(0.0, jnp.maximum(alp, arp))
+    am = jnp.minimum(0.0, jnp.minimum(alm, arm))
+    return tuple((fl * ap - fr * am - (ul - ur) * ap * am) / (ap - am)
+                 for fl, fr, ul, ur in zip(Fl, Fr, Ul, Ur))
+
+
+def _kernel(pe_ref, u0_ref, dv_ref, invr_ref, cotq_ref, dar_ref,
+            daql_ref, daqh_ref, u1_ref, pe_scratch, dar_scratch,
+            sem1, sem2, *, TX, NQ, NR, dt, theta, method):
+    i = pl.program_id(0)
+
+    dma1 = pltpu.make_async_copy(
+        pe_ref.at[:, pl.ds(i * TX, TX + 8)], pe_scratch, sem1)
+    dma2 = pltpu.make_async_copy(
+        dar_ref.at[pl.ds(i * TX, TX + 8)], dar_scratch, sem2)
+    dma1.start()
+    dma2.start()
+    dma1.wait()
+    dma2.wait()
+
+    # pe_scratch row w = Pe row (i*TX - 1 + w); Pe row g holds: g=0 the
+    # inflow guard, 1..NR the interior, NR+1 the outer zero-gradient guard
+    Pw = tuple(pe_scratch[k] for k in range(5))          # [TX+8, NQ]
+    grow0 = i * TX - 1                                   # Pe row of w=0
+
+    # ---- radial axis --------------------------------------------------
+    # PLM gradient at window rows 1..TX+2 (Pe rows i*TX..i*TX+TX+1), zero
+    # at the extended-array edges (Pe rows 0 and NR+1)
+    rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 2, NQ), 0) \
+        + (grow0 + 1)
+    gzero = jnp.logical_or(rw == 0, rw == NR + 1)
+
+    def faces_r(c):
+        if method == 1:
+            L = c[1:TX + 2]          # Pe rows i*TX .. i*TX+TX
+            R = c[2:TX + 3]          # Pe rows i*TX+1 .. i*TX+TX+1
+            return L, R
+        g = _plm(c[0:TX + 2], c[1:TX + 3], c[2:TX + 4], theta)
+        g = jnp.where(gzero, 0.0, g)
+        L = c[1:TX + 3][0:TX + 1] + 0.5 * g[0:TX + 1]
+        R = c[1:TX + 3][1:TX + 2] - 0.5 * g[1:TX + 2]
+        return L, R
+
+    LRr = [faces_r(c) for c in Pw]
+    Fr = _hlle_t(tuple(l for l, _ in LRr), tuple(r for _, r in LRr), 0)
+    dar = dar_scratch[...]                               # faces i*TX..+TX+7
+    lr = tuple(-(f[1:TX + 1] * dar[1:TX + 1] - f[0:TX] * dar[0:TX])
+               for f in Fr)
+
+    # ---- polar axis -----------------------------------------------------
+    # interior cell global row r = Pe row r+1 = window row r - i*TX + 2
+    P = tuple(c[2:TX + 2] for c in Pw)                   # interior [TX, NQ]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TX, NQ), 1)
+
+    def roll_r(c):   # value of the left (lower-theta) neighbor
+        return pltpu.roll(c, 1, 1)
+
+    def roll_l(c):   # right neighbor (pltpu.roll wants shift >= 0)
+        return pltpu.roll(c, NQ - 1, 1)
+
+    if method == 1:
+        Gq = tuple(jnp.zeros_like(c) for c in P)
+    else:
+        edge = jnp.logical_or(lane == 0, lane == NQ - 1)
+        Gq = tuple(jnp.where(edge, 0.0,
+                             _plm(roll_r(c), c, roll_l(c), theta))
+                   for c in P)
+
+    # flux through the LOW face of each cell (face j, j = lane index);
+    # face 0 is the pole: zero
+    Ll = tuple(roll_r(c) + 0.5 * roll_r(g) for c, g in zip(P, Gq))
+    Rl = tuple(c - 0.5 * g for c, g in zip(P, Gq))
+    FL = _hlle_t(Ll, Rl, 1)
+    at_pole_lo = lane == 0
+    FL = tuple(jnp.where(at_pole_lo, 0.0, f) for f in FL)
+    # flux through the HIGH face = next cell's low face; face NQ is the
+    # other pole: zero
+    at_pole_hi = lane == NQ - 1
+    FH = tuple(jnp.where(at_pole_hi, 0.0, roll_l(f)) for f in FL)
+
+    daql = daql_ref[...]
+    daqh = daqh_ref[...]
+    lq = tuple(fl * daql - fh * daqh for fl, fh in zip(FL, FH))
+
+    # ---- spherical geometry sources (physics_srhd.hpp:309-340) ---------
+    rho, ur, uq, up, pg = P
+    invr = invr_ref[...]
+    cotq = cotq_ref[...]
+    H = rho + pg * (1.0 + 1.0 / (GAMMA - 1.0))
+    s1 = (2.0 * pg + H * (uq * uq + up * up)) * invr
+    s2 = (cotq * pg + H * (up * up * cotq - ur * uq)) * invr
+    s3 = -up * H * (ur + uq * cotq) * invr
+    z = jnp.zeros_like(pg)
+    s0 = (z, s1, s2, s3, z)
+
+    dv = dv_ref[...]
+    for k in range(5):
+        u1_ref[k] = u0_ref[k] + (lr[k] + lq[k] + s0[k] * dv) * dt
+
+
+def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
+                      dt, plm_theta, method, TX=256, interpret=False):
+    """One pallas launch. Pe_soa [5, NR+2, NQ] = BC-extended primitives
+    (inflow guard row + interior + zero-gradient guard row); u0_soa
+    [5, NR, NQ] extrinsic conserved; dv/invr/cotq [NR, NQ]; dAr
+    [NR+1, NQ] radial face areas; daq_lo/daq_hi [NR, NQ] = the polar face
+    areas at each cell's low/high theta face. Returns u1_soa."""
+    _, NRp2, NQ = Pe_soa.shape
+    NR = NRp2 - 2
+    assert NR % TX == 0 and NQ % 128 == 0
+    gi = NR // TX
+    dtype = u0_soa.dtype
+
+    # lead/tail padding so each tile's TX+8-row fetch starting at i*TX is
+    # in-bounds: Pe2 row w = Pe row w-1
+    pe2 = jnp.pad(Pe_soa, ((0, 0), (1, 5), (0, 0)))
+    dar2 = jnp.pad(dAr, ((0, 7), (0, 0)))
+
+    kernel = functools.partial(_kernel, TX=TX, NQ=NQ, NR=NR,
+                               dt=float(dt), theta=float(plm_theta),
+                               method=int(method))
+
+    blocked = lambda: pl.BlockSpec((TX, NQ), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(gi,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # Pe2 (manual DMA)
+            pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),   # u0
+            blocked(),                               # dv
+            blocked(),                               # invr
+            blocked(),                               # cotq
+            pl.BlockSpec(memory_space=pl.ANY),       # dAr2 (manual DMA)
+            blocked(),                               # dAq low
+            blocked(),                               # dAq high
+        ],
+        out_specs=pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, NR, NQ), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, TX + 8, NQ), dtype),
+            pltpu.VMEM((TX + 8, NQ), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(pe2, u0_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)

@@ -353,7 +353,7 @@ def _face_states_1(c, axis, plm_theta, method):
 
 def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
                   method: int, temperature_floor: float, p_guess=None,
-                  return_pressure=False):
+                  return_pressure=False, fused=None):
     """Tuple-form advance: same formulas and per-cell evaluation order as
     _advance_once_stacked, with the state carried as 5 component arrays so
     no stack/concatenate sits in the hot DAG (XLA then fuses whole flux
@@ -364,10 +364,56 @@ def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
     Ut = tuple(u0[..., k] / dv for k in range(5))
     Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
                                   p_guess)
+    inflow = _inflow_row(qc, t, jet_static)
+    nr_, nq_ = u0.shape[0], u0.shape[1]
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and nq_ % 128 == 0
+                 and _pick_tx(nr_) is not None)
+    if fused:
+        u1 = _flux_update_pallas(Pt, u0, inflow, geometry, dt, plm_theta,
+                                 method, interpret=fused == "interpret")
+    else:
+        u1 = _flux_update(Pt, u0, inflow, geometry, dt, plm_theta, method)
+    if return_pressure:
+        return u1, Pt[4]
+    return u1
+
+
+def _pick_tx(nr):
+    for t in (256, 128, 64, 32, 16, 8):
+        if nr % t == 0:
+            return t
+    return None
+
+
+def _flux_update_pallas(Pt, u0, inflow, geometry, dt, plm_theta, method,
+                        interpret=False):
+    """Fused-kernel form of _flux_update (kernels/cloud_update.py)."""
+    from mara3_tpu.kernels import cloud_update
+
+    rv, qv, rc, qc, dv, dAr, dAq = geometry
+    nr, nq = u0.shape[0], u0.shape[1]
+    Pe = jnp.stack([jnp.concatenate([inflow[..., k], c, c[-1:]], axis=0)
+                    for k, c in enumerate(Pt)])
+    u0s = jnp.stack([u0[..., k] for k in range(5)])
+    invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr, nq))
+    cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr, nq))
+    u1s = cloud_update.fused_flux_update(
+        Pe, u0s, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+        dt, plm_theta, method, TX=min(_pick_tx(nr), nr),
+        interpret=interpret)
+    return jnp.stack([u1s[k] for k in range(5)], axis=-1)
+
+
+def _flux_update(Pt, u0, inflow, geometry, dt, plm_theta: float,
+                 method: int):
+    """Everything after primitive recovery: BC extension, face states,
+    HLLE on both axes, geometric sources, conservative update. This is the
+    jnp reference for the fused Pallas kernel (kernels/cloud_update.py)."""
+    rv, qv, rc, qc, dv, dAr, dAq = geometry
+
     s0 = srhd.spherical_geometry_source_terms_t(
         Pt, rc[:, None], qc[None, :], GAMMA_LAW_INDEX)
-
-    inflow = _inflow_row(qc, t, jet_static)
 
     # radial axis: inflow nozzle inner, zero-gradient outer
     def radial(comp, k):
@@ -388,12 +434,9 @@ def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
     lq = tuple(-(ops.difference_on_axis(jnp.pad(f, ((0, 0), (1, 1))) * dAq,
                                         1)) for f in Fq)
 
-    u1 = jnp.stack(
+    return jnp.stack(
         [u0[..., k] + (lr[k] + lq[k] + s0[k] * dv) * dt for k in range(5)],
         axis=-1)
-    if return_pressure:
-        return u1, Pt[4]
-    return u1
 
 
 @partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta", "method",

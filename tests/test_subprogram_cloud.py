@@ -144,3 +144,46 @@ def test_advance_rk_carry_matches_advance_rk():
                                     jet_static, dt, 1.5, 2, 1e-6, 2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
     assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_pallas_flux_update_matches_jnp():
+    """kernels/cloud_update.py (fused flux+update, interpret mode) vs the
+    jnp _flux_update, PCM and PLM."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.core import ops
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update(
+        {"nr": 128, "num_decades": 1.0})
+    state = cloud.new_solution(cfg)
+    u0 = jnp.asarray(state.conserved, jnp.float32)
+    rv = jnp.asarray(state.radial_vertices, jnp.float32)
+    qv = jnp.asarray(state.polar_vertices, jnp.float32)
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cloud.cell_volumes(rv, qv),
+                cloud.radial_face_areas(rv, qv),
+                cloud.polar_face_areas(rv, qv))
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+
+    dv = geometry[4]
+    Ut = tuple(u0[..., k] / dv for k in range(5))
+    from mara3_tpu.physics import srhd
+    Pt = srhd.recover_primitive_t(Ut, cloud.GAMMA_LAW_INDEX, 1e-6)
+    inflow = jnp.asarray(cloud._inflow_row(qc, 0.0, jet_static),
+                         jnp.float32)
+
+    for method in (1, 2):
+        want = cloud._flux_update(Pt, u0, inflow, geometry, dt, 1.5,
+                                  method)
+        with pltpu.force_tpu_interpret_mode():
+            got = cloud._flux_update_pallas(Pt, u0, inflow, geometry, dt,
+                                            1.5, method, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=1e-8)
