@@ -28,12 +28,15 @@ def _state(n):
 
 
 def _measure(f, u, zones, n1, n2, repeat):
-    np.asarray(f(u, n1))
-    np.asarray(f(u, n2))
+    # scalar readback: a full-state device->host copy at 8192^2 is ~800 MB
+    # through the tunnel and its jitter swamps the marginal
+    g = jax.jit(lambda u, n: jnp.sum(f(u, n)), static_argnums=1)
+    assert np.isfinite(float(g(u, n1)))
+    float(g(u, n2))
 
     def once(n):
         t0 = time.perf_counter()
-        np.asarray(f(u, n))
+        float(g(u, n))
         return time.perf_counter() - t0
 
     best = float("inf")
@@ -101,10 +104,9 @@ def main():
         try:
             f, G, bpz, red = build_case(case, tile, n)
             # spans long enough that the marginal dwarfs tunnel noise
-            # (~50 ms): >= 100 steps apart
             n1 = max(5 * G, 20)
             n1 -= n1 % G
-            n2 = n1 + max(120, 30 * G)
+            n2 = n1 + max(400, 100 * G)
             n2 -= n2 % G
             zps, per = _measure(f, u, zones, n1, n2, repeat)
             print(json.dumps({
