@@ -229,5 +229,10 @@ def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # the ~40 live (TX, NQ) intermediates of the fused flux chains
+        # exceed the default 16 MB scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pe2, u0_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)
