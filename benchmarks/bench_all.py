@@ -129,17 +129,17 @@ def bench_cloud(repeat):
     tf = cfg.get_double("temperature_floor")
 
     p0 = jnp.zeros(state.conserved.shape[:-1], state.conserved.dtype)
+    us0 = jnp.moveaxis(jnp.asarray(state.conserved), -1, 0)
 
     @partial(jax.jit, static_argnames=("n",))
     def f(n: int):
         def body(i, carry):
-            u, p, t = carry
-            u1, p1 = cloud._advance_rk_carry(u, p, t, rv, qv, jet_static,
-                                             dt, theta, 1, tf, 2)
+            us, p, t = carry
+            u1, p1 = cloud._advance_rk_carry_soa(
+                us, p, t, rv, qv, jet_static, dt, theta, 1, tf, 2)
             return u1, p1, t + dt
-        u, _, _ = jax.lax.fori_loop(0, n, body,
-                                    (state.conserved, p0, state.time))
-        return u
+        us, _, _ = jax.lax.fori_loop(0, n, body, (us0, p0, state.time))
+        return us
 
     zps, per = _marginal(f, nz, 5, 45, repeat)
     return dict(config="cloud_srhd_1024", zones=nz, zps=zps,

@@ -465,6 +465,56 @@ def _advance_rk(u0, t, rv, qv, jet_static, dt: float, plm_theta: float,
     return 0.5 * u0 + 0.5 * u2   # subprog_cloud.cpp:687-692
 
 
+def _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta, method,
+                      temperature_floor, p_guess, fused=None):
+    """SoA [5, NR, NQ] stage: recovery + flux update without any
+    per-stage component stacking (the fused kernel consumes and produces
+    SoA directly)."""
+    rv, qv, rc, qc, dv, dAr, dAq = geometry
+    nr_, nq_ = us.shape[1], us.shape[2]
+    Ut = tuple(us[k] / dv for k in range(5))
+    Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
+                                  p_guess)
+    inflow = _inflow_row(qc, t, jet_static)
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and nq_ % 128 == 0
+                 and _pick_tx(nr_) is not None)
+    if fused:
+        from mara3_tpu.kernels import cloud_update
+        Pe = jnp.stack([jnp.concatenate([inflow[..., k], c, c[-1:]], axis=0)
+                        for k, c in enumerate(Pt)])
+        invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr_, nq_))
+        cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :],
+                                (nr_, nq_))
+        u1s = cloud_update.fused_flux_update(
+            Pe, us, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+            dt, plm_theta, method, TX=min(_pick_tx(nr_), nr_),
+            interpret=fused == "interpret")
+    else:
+        u1 = _flux_update(Pt, jnp.moveaxis(us, 0, -1), inflow, geometry,
+                          dt, plm_theta, method)
+        u1s = jnp.moveaxis(u1, -1, 0)
+    return u1s, Pt[4]
+
+
+def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
+                          plm_theta, method, temperature_floor, rk_order,
+                          fused=None):
+    rc = ops.midpoint_on_axis(rv)
+    qc = ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
+                radial_face_areas(rv, qv), polar_face_areas(rv, qv))
+
+    u1, p1 = _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta,
+                               method, temperature_floor, p_prev, fused)
+    if rk_order == 1:
+        return u1, p1
+    u2, p2 = _advance_once_soa(u1, t + dt, geometry, jet_static, dt,
+                               plm_theta, method, temperature_floor, p1,
+                               fused)
+    return 0.5 * us + 0.5 * u2, p2
+
+
 @partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta",
                                    "method", "temperature_floor",
                                    "rk_order"))
@@ -472,22 +522,14 @@ def _advance_rk_carry(u0, p_prev, t, rv, qv, jet_static, dt: float,
                       plm_theta: float, method: int,
                       temperature_floor: float, rk_order: int):
     """_advance_rk with the recovered pressure carried across steps, so
-    every stage's Newton warm-starts (driver loops thread (u, p))."""
-    rc = ops.midpoint_on_axis(rv)
-    qc = ops.midpoint_on_axis(qv)
-    geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
-                radial_face_areas(rv, qv), polar_face_areas(rv, qv))
-
-    def once(u, t_, p_guess):
-        return _advance_once(u, t_, geometry, jet_static, dt, plm_theta,
-                             method, temperature_floor, p_guess,
-                             return_pressure=True)
-
-    u1, p1 = once(u0, t, p_prev)
-    if rk_order == 1:
-        return u1, p1
-    u2, p2 = once(u1, t + dt, p1)
-    return 0.5 * u0 + 0.5 * u2, p2
+    every stage's Newton warm-starts (driver loops thread (u, p)). The
+    state travels SoA internally; use _advance_rk_carry_soa directly to
+    keep it SoA across a scan."""
+    us = jnp.stack([u0[..., k] for k in range(5)])
+    u1s, p1 = _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
+                                    plm_theta, method, temperature_floor,
+                                    rk_order)
+    return jnp.moveaxis(u1s, 0, -1), p1
 
 
 def next_solution(state: Solution, cfg) -> Solution:
