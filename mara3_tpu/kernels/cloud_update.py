@@ -236,3 +236,232 @@ def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pe2, u0_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)
+
+
+# -----------------------------------------------------------------------------
+# v2: primitive recovery fused INTO the kernel. One launch per RK stage
+# covers the whole advance (recovery + BCs + fluxes + sources + update); the
+# Newton iteration runs per tile on VMEM-resident data with the reference's
+# exact semantics (chunked masked updates, early exit, <=50 bound,
+# dtype-aware tolerance — physics/srhd.py recover_primitive_t).
+# -----------------------------------------------------------------------------
+
+NEWTON_ITER_MAX = 50
+ERROR_TOLERANCE = 1e-10
+
+
+def _recover_window(Uw, p0, done0, tfloor):
+    """Masked chunked Newton on a window; returns (P-tuple, done)."""
+    D, S1, S2, S3, tau = Uw
+    SS = S1 * S1 + S2 * S2 + S3 * S3
+    eps_rel = 8.0 * jnp.finfo(D.dtype).eps
+    f_floor = eps_rel * (jnp.abs(tau) + D)
+
+    def one_update(p, Wc, done):
+        v2 = jnp.minimum(SS / (tau + D + p) ** 2, 1.0 - 1e-10)
+        W2 = 1.0 / (1.0 - v2)
+        W = jnp.sqrt(W2)
+        e = (tau + D * (1.0 - W) + p * (1.0 - W2)) / (D * W)
+        d = D / W
+        h = 1.0 + e + p / d
+        cs2 = GAMMA * p / (d * h)
+        f = d * e * (GAMMA - 1.0) - p
+        g = v2 * cs2 - 1.0
+        p_next = p - f / g
+        newly = jnp.abs(f) < ERROR_TOLERANCE + f_floor + eps_rel * jnp.abs(p)
+        p_out = jnp.where(done, p, p_next)
+        W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
+        return p_out, W_out, jnp.logical_or(done, newly)
+
+    def cond(state):
+        p, W, done, it = state
+        return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
+
+    def body(state):
+        p, W, done, it = state
+        for _ in range(5):
+            p, W, done = one_update(p, W, done)
+        return p, W, done, it + 5
+
+    W0 = jnp.ones_like(D)
+    p, W, done, _ = jax.lax.while_loop(cond, body, (p0, W0, done0, 0))
+    if tfloor > 0.0:
+        p = jnp.maximum(p, tfloor * D / W)
+    denom = tau + D + p
+    return (D / W, W * S1 / denom, W * S2 / denom, W * S3 / denom, p), done
+
+
+def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
+               invr_ref, cotq_ref, dar_ref, daql_ref, daqh_ref,
+               u1_ref, pout_ref,
+               ue_scratch, pg_scratch, dvw_scratch, dar_scratch,
+               sem1, sem2, sem3, sem4,
+               *, TX, NQ, NR, dt, theta, method, tfloor):
+    i = pl.program_id(0)
+
+    for ref, scratch, sem, rows in (
+            (ue_ref, ue_scratch, sem1, True),
+            (pg_ref, pg_scratch, sem2, False),
+            (dvw_ref, dvw_scratch, sem3, False),
+            (dar_ref, dar_scratch, sem4, False)):
+        src = ref.at[:, pl.ds(i * TX, TX + 8)] if rows \
+            else ref.at[pl.ds(i * TX, TX + 8)]
+        dma = pltpu.make_async_copy(src, scratch, sem)
+        dma.start()
+        dma.wait()
+
+    # window row w <-> Pe row g = i*TX - 1 + w <-> interior row g - 1
+    grow0 = i * TX - 1
+    rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 8, NQ), 0) + grow0
+    interior = jnp.logical_and(rw >= 1, rw <= NR)   # recoverable rows
+
+    dvw = dvw_scratch[...]
+    Uw = tuple(jnp.where(interior, ue_scratch[k] / dvw, 1.0)
+               for k in range(5))
+    # U = (1,1,1,1,1) on non-interior rows recovers harmlessly; they start
+    # converged so they cannot hold the Newton loop open
+    p0 = jnp.maximum(pg_scratch[...], 0.0)
+    Pw5, done = _recover_window(Uw, jnp.where(interior, p0, 0.0),
+                                ~interior, tfloor)
+
+    # BC rows: Pe row 0 = inflow primitives; Pe row NR+1 = zero-gradient
+    # copy of interior row NR (one row up in the window)
+    shifted = tuple(pltpu.roll(c, 1, 0) for c in Pw5)
+    Pw = []
+    for k in range(5):
+        c = jnp.where(rw == 0, inflow_ref[k], Pw5[k])
+        c = jnp.where(rw == NR + 1, shifted[k], c)
+        Pw.append(c)
+    Pw = tuple(Pw)
+
+    # ---- identical to _kernel from here (radial/polar fluxes, sources,
+    # update), plus the recovered-pressure output for the next stage ------
+    rw2 = jax.lax.broadcasted_iota(jnp.int32, (TX + 2, NQ), 0) \
+        + (grow0 + 1)
+    gzero = jnp.logical_or(rw2 == 0, rw2 == NR + 1)
+
+    def faces_r(c):
+        if method == 1:
+            return c[1:TX + 2], c[2:TX + 3]
+        g = _plm(c[0:TX + 2], c[1:TX + 3], c[2:TX + 4], theta)
+        g = jnp.where(gzero, 0.0, g)
+        L = c[1:TX + 2] + 0.5 * g[0:TX + 1]
+        R = c[2:TX + 3] - 0.5 * g[1:TX + 2]
+        return L, R
+
+    LRr = [faces_r(c) for c in Pw]
+    Fr = _hlle_t(tuple(l for l, _ in LRr), tuple(r for _, r in LRr), 0)
+    dar = dar_scratch[...]
+    lr = tuple(-(f[1:TX + 1] * dar[1:TX + 1] - f[0:TX] * dar[0:TX])
+               for f in Fr)
+
+    P = tuple(c[2:TX + 2] for c in Pw)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TX, NQ), 1)
+
+    def roll_r(c):
+        return pltpu.roll(c, 1, 1)
+
+    def roll_l(c):
+        return pltpu.roll(c, NQ - 1, 1)
+
+    if method == 1:
+        Gq = tuple(jnp.zeros_like(c) for c in P)
+    else:
+        edge = jnp.logical_or(lane == 0, lane == NQ - 1)
+        Gq = tuple(jnp.where(edge, 0.0,
+                             _plm(roll_r(c), c, roll_l(c), theta))
+                   for c in P)
+
+    Ll = tuple(roll_r(c) + 0.5 * roll_r(g) for c, g in zip(P, Gq))
+    Rl = tuple(c - 0.5 * g for c, g in zip(P, Gq))
+    FL = _hlle_t(Ll, Rl, 1)
+    FL = tuple(jnp.where(lane == 0, 0.0, f) for f in FL)
+    FH = tuple(jnp.where(lane == NQ - 1, 0.0, roll_l(f)) for f in FL)
+
+    daql = daql_ref[...]
+    daqh = daqh_ref[...]
+    lq = tuple(fl * daql - fh * daqh for fl, fh in zip(FL, FH))
+
+    rho, ur, uq, up, pg = P
+    invr = invr_ref[...]
+    cotq = cotq_ref[...]
+    H = rho + pg * (1.0 + 1.0 / (GAMMA - 1.0))
+    s1 = (2.0 * pg + H * (uq * uq + up * up)) * invr
+    s2 = (cotq * pg + H * (up * up * cotq - ur * uq)) * invr
+    s3 = -up * H * (ur + uq * cotq) * invr
+    z = jnp.zeros_like(pg)
+    s0 = (z, s1, s2, s3, z)
+
+    dv = dv_ref[...]
+    for k in range(5):
+        u1_ref[k] = u0_ref[k] + (lr[k] + lq[k] + s0[k] * dv) * dt
+    pout_ref[...] = pg
+
+
+def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
+                daq_hi, dt, plm_theta, method, tfloor, TX=64,
+                interpret=False):
+    """One fully-fused RK stage: recovery + BCs + fluxes + sources +
+    update. inflow [5, NQ] primitive guard row; u_soa [5, NR, NQ]
+    extrinsic conserved; p_guess [NR, NQ] warm-start pressures. Returns
+    (u1_soa, recovered interior pressure [NR, NQ])."""
+    _, NR, NQ = u_soa.shape
+    assert NR % TX == 0 and NQ % 128 == 0
+    gi = NR // TX
+    dtype = u_soa.dtype
+
+    # window row w <-> interior row i*TX - 2 + w: pad 2 lead rows
+    ue2 = jnp.pad(u_soa, ((0, 0), (2, 6), (0, 0)))
+    pg2 = jnp.pad(p_guess, ((2, 6), (0, 0)))
+    dv2 = jnp.pad(dv, ((2, 6), (0, 0)), constant_values=1.0)
+    dar2 = jnp.pad(dAr, ((0, 7), (0, 0)))
+
+    kernel = functools.partial(_kernel_v2, TX=TX, NQ=NQ, NR=NR,
+                               dt=float(dt), theta=float(plm_theta),
+                               method=int(method), tfloor=float(tfloor))
+
+    blocked = lambda: pl.BlockSpec((TX, NQ), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(gi,),
+        in_specs=[
+            pl.BlockSpec((5, NQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # inflow row
+            pl.BlockSpec(memory_space=pl.ANY),       # ue2 (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # pg2 (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # dv2 (manual DMA)
+            pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),   # u0
+            blocked(),                               # dv
+            blocked(),                               # invr
+            blocked(),                               # cotq
+            pl.BlockSpec(memory_space=pl.ANY),       # dAr2 (manual DMA)
+            blocked(),                               # dAq low
+            blocked(),                               # dAq high
+        ],
+        out_specs=(
+            pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            blocked(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((5, NR, NQ), dtype),
+            jax.ShapeDtypeStruct((NR, NQ), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((5, TX + 8, NQ), dtype),
+            pltpu.VMEM((TX + 8, NQ), dtype),
+            pltpu.VMEM((TX + 8, NQ), dtype),
+            pltpu.VMEM((TX + 8, NQ), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(inflow, ue2, pg2, dv2, u_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)

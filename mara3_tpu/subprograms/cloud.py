@@ -472,29 +472,30 @@ def _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta, method,
     SoA directly)."""
     rv, qv, rc, qc, dv, dAr, dAq = geometry
     nr_, nq_ = us.shape[1], us.shape[2]
-    Ut = tuple(us[k] / dv for k in range(5))
-    Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
-                                  p_guess)
     inflow = _inflow_row(qc, t, jet_static)
     if fused is None:
         fused = (jax.default_backend() == "tpu" and nq_ % 128 == 0
                  and _pick_tx(nr_) is not None)
     if fused:
+        # the whole stage — Newton recovery included — is ONE kernel
         from mara3_tpu.kernels import cloud_update
-        Pe = jnp.stack([jnp.concatenate([inflow[..., k], c, c[-1:]], axis=0)
-                        for k, c in enumerate(Pt)])
         invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr_, nq_))
         cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :],
                                 (nr_, nq_))
-        u1s = cloud_update.fused_flux_update(
-            Pe, us, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
-            dt, plm_theta, method, TX=min(_pick_tx(nr_), nr_),
-            interpret=fused == "interpret")
-    else:
-        u1 = _flux_update(Pt, jnp.moveaxis(us, 0, -1), inflow, geometry,
-                          dt, plm_theta, method)
-        u1s = jnp.moveaxis(u1, -1, 0)
-    return u1s, Pt[4]
+        inflow2 = jnp.stack([inflow[0, :, k] for k in range(5)])
+        pg = (jnp.zeros_like(us[0]) if p_guess is None
+              else jnp.asarray(p_guess))
+        u1s, p_out = cloud_update.fused_stage(
+            inflow2, us, pg, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+            dt, plm_theta, method, temperature_floor,
+            TX=min(_pick_tx(nr_), nr_), interpret=fused == "interpret")
+        return u1s, p_out
+    Ut = tuple(us[k] / dv for k in range(5))
+    Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
+                                  p_guess)
+    u1 = _flux_update(Pt, jnp.moveaxis(us, 0, -1), inflow, geometry,
+                      dt, plm_theta, method)
+    return jnp.moveaxis(u1, -1, 0), Pt[4]
 
 
 def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,

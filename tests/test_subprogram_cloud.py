@@ -187,3 +187,43 @@ def test_pallas_flux_update_matches_jnp():
                                             1.5, method, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-5, atol=1e-8)
+
+
+def test_fused_stage_matches_jnp_stage():
+    """kernels/cloud_update.fused_stage (in-kernel recovery + fluxes +
+    update, interpret mode) vs the jnp SoA stage, warm and cold starts."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.core import ops
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update(
+        {"nr": 128, "num_decades": 1.0})
+    state = cloud.new_solution(cfg)
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    rv = jnp.asarray(state.radial_vertices, jnp.float32)
+    qv = jnp.asarray(state.polar_vertices, jnp.float32)
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cloud.cell_volumes(rv, qv),
+                cloud.radial_face_areas(rv, qv),
+                cloud.polar_face_areas(rv, qv))
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+
+    for method in (1, 2):
+        a, pa = cloud._advance_once_soa(us, 0.0, geometry, jet_static, dt,
+                                        1.5, method, 1e-6, None,
+                                        fused=False)
+        with pltpu.force_tpu_interpret_mode():
+            b, pb = cloud._advance_once_soa(us, 0.0, geometry, jet_static,
+                                            dt, 1.5, method, 1e-6, None,
+                                            fused="interpret")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                                   rtol=5e-5, atol=1e-10)
