@@ -250,8 +250,12 @@ NEWTON_ITER_MAX = 50
 ERROR_TOLERANCE = 1e-10
 
 
-def _recover_window(Uw, p0, done0, tfloor):
-    """Masked chunked Newton on a window; returns (P-tuple, done)."""
+def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref):
+    """Masked chunked Newton on a window. The iteration state lives in
+    VMEM scratch refs and the lax.while_loop carries only scalars —
+    Mosaic cannot legalize scf.yield of vector carries. done is a 0/1
+    float mask for the same reason. Per-cell semantics match
+    physics/srhd.recover_primitive_t exactly."""
     D, S1, S2, S3, tau = Uw
     SS = S1 * S1 + S2 * S2 + S3 * S3
     eps_rel = 8.0 * jnp.finfo(D.dtype).eps
@@ -269,22 +273,32 @@ def _recover_window(Uw, p0, done0, tfloor):
         g = v2 * cs2 - 1.0
         p_next = p - f / g
         newly = jnp.abs(f) < ERROR_TOLERANCE + f_floor + eps_rel * jnp.abs(p)
-        p_out = jnp.where(done, p, p_next)
-        W_out = jnp.where(done, Wc, jnp.where(newly, W, Wc))
-        return p_out, W_out, jnp.logical_or(done, newly)
+        isdone = done > 0.5
+        p_out = jnp.where(isdone, p, p_next)
+        W_out = jnp.where(isdone, Wc, jnp.where(newly, W, Wc))
+        done_out = jnp.maximum(done, newly.astype(done.dtype))
+        return p_out, W_out, done_out
 
-    def cond(state):
-        p, W, done, it = state
-        return jnp.logical_and(it < NEWTON_ITER_MAX, ~jnp.all(done))
+    p_ref[...] = p0
+    w_ref[...] = jnp.ones_like(D)
+    done_ref[...] = done0
 
-    def body(state):
-        p, W, done, it = state
+    def cond(carry):
+        it, alldone = carry
+        return jnp.logical_and(it < NEWTON_ITER_MAX, ~alldone)
+
+    def body(carry):
+        it, _ = carry
+        p, W, done = p_ref[...], w_ref[...], done_ref[...]
         for _ in range(5):
             p, W, done = one_update(p, W, done)
-        return p, W, done, it + 5
+        p_ref[...] = p
+        w_ref[...] = W
+        done_ref[...] = done
+        return it + 5, jnp.all(done > 0.5)
 
-    W0 = jnp.ones_like(D)
-    p, W, done, _ = jax.lax.while_loop(cond, body, (p0, W0, done0, 0))
+    jax.lax.while_loop(cond, body, (0, jnp.all(done0 > 0.5)))
+    p, W, done = p_ref[...], w_ref[...], done_ref[...]
     if tfloor > 0.0:
         p = jnp.maximum(p, tfloor * D / W)
     denom = tau + D + p
@@ -295,6 +309,7 @@ def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
                invr_ref, cotq_ref, dar_ref, daql_ref, daqh_ref,
                u1_ref, pout_ref,
                ue_scratch, pg_scratch, dvw_scratch, dar_scratch,
+               p_scr, w_scr, done_scr,
                sem1, sem2, sem3, sem4,
                *, TX, NQ, NR, dt, theta, method, tfloor):
     i = pl.program_id(0)
@@ -321,8 +336,9 @@ def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
     # U = (1,1,1,1,1) on non-interior rows recovers harmlessly; they start
     # converged so they cannot hold the Newton loop open
     p0 = jnp.maximum(pg_scratch[...], 0.0)
+    done0 = 1.0 - interior.astype(p0.dtype)
     Pw5, done = _recover_window(Uw, jnp.where(interior, p0, 0.0),
-                                ~interior, tfloor)
+                                done0, tfloor, p_scr, w_scr, done_scr)
 
     # BC rows: Pe row 0 = inflow primitives; Pe row NR+1 = zero-gradient
     # copy of interior row NR (one row up in the window)
@@ -455,6 +471,9 @@ def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
             pltpu.VMEM((TX + 8, NQ), dtype),
             pltpu.VMEM((TX + 8, NQ), dtype),
             pltpu.VMEM((TX + 8, NQ), dtype),
+            pltpu.VMEM((TX + 8, NQ), dtype),   # Newton p
+            pltpu.VMEM((TX + 8, NQ), dtype),   # Newton W
+            pltpu.VMEM((TX + 8, NQ), dtype),   # Newton done mask
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
