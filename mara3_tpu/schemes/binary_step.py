@@ -297,9 +297,17 @@ def make_fast_scan(sd):
     def scan_steps(s, n: int):
         def body(s, _):
             s1, info = step.traced(s)
-            return s1, _pack_info(info)
+            # raw per-step values; packing happens ONCE per chunk below —
+            # the ~17 reshape/concat ops of _pack_info cost ~0.65 ms per
+            # STEP when they ride inside the scan body
+            return s1, {k: info[k] for k, _ in _INFO_LAYOUT}
 
-        return jax.lax.scan(body, s, length=n)
+        s2, infos = jax.lax.scan(body, s, length=n)
+        ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        rows = jnp.concatenate(
+            [jnp.asarray(infos[name], ft).reshape(n, -1)
+             for name, _ in _INFO_LAYOUT], axis=1)
+        return s2, rows
 
     return scan_steps
 
