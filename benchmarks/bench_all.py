@@ -175,6 +175,7 @@ def bench_amrsand(repeat):
 
 
 BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
+               binary7=lambda repeat: bench_binary(repeat, depth=7),
                cloud=bench_cloud, amrsand=bench_amrsand)
 
 
