@@ -445,24 +445,15 @@ def _flux_update(Pt, u0, inflow, geometry, dt, plm_theta: float,
                                    "temperature_floor", "rk_order"))
 def _advance_rk(u0, t, rv, qv, jet_static, dt: float, plm_theta: float,
                 method: int, temperature_floor: float, rk_order: int):
-    rc = ops.midpoint_on_axis(rv)
-    qc = ops.midpoint_on_axis(qv)
-    geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
-                radial_face_areas(rv, qv), polar_face_areas(rv, qv))
-
-    def once(u, t_, p_guess=None):
-        return _advance_once(u, t_, geometry, jet_static, dt, plm_theta,
-                             method, temperature_floor, p_guess,
-                             return_pressure=True)
-
-    # later stages warm-start the pressure Newton from the previous
-    # stage's recovery (converged to the same 1e-10 either way)
-    if rk_order == 1:
-        u1, _ = once(u0, t)
-        return u1
-    u1, p1 = once(u0, t)
-    u2, _ = once(u1, t + dt, p1)
-    return 0.5 * u0 + 0.5 * u2   # subprog_cloud.cpp:687-692
+    # the SoA carry path does the work (fully-fused kernel on TPU,
+    # stage-warm-started Newton); this wrapper keeps the component-last
+    # public state layout
+    us = jnp.stack([u0[..., k] for k in range(5)])
+    p0 = jnp.zeros_like(us[0])
+    u1s, _ = _advance_rk_carry_soa(us, p0, t, rv, qv, jet_static, dt,
+                                   plm_theta, method, temperature_floor,
+                                   rk_order)
+    return jnp.moveaxis(u1s, 0, -1)
 
 
 def _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta, method,
