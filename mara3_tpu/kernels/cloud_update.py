@@ -314,6 +314,7 @@ def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
                *, TX, NQ, NR, dt, theta, method, tfloor):
     i = pl.program_id(0)
 
+    dmas = []
     for ref, scratch, sem, rows in (
             (ue_ref, ue_scratch, sem1, True),
             (pg_ref, pg_scratch, sem2, False),
@@ -323,6 +324,8 @@ def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
             else ref.at[pl.ds(i * TX, TX + 8)]
         dma = pltpu.make_async_copy(src, scratch, sem)
         dma.start()
+        dmas.append(dma)
+    for dma in dmas:
         dma.wait()
 
     # window row w <-> Pe row g = i*TX - 1 + w <-> interior row g - 1

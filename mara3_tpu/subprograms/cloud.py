@@ -380,9 +380,9 @@ def _advance_once(u0, t, geometry, jet_static, dt, plm_theta: float,
 
 
 def _pick_tx(nr):
-    # 64 keeps the kernel's working set inside the 16 MB scoped-vmem limit
-    # at NQ=1024 (TX=256 OOMs at 26 MB)
-    for t in (64, 32, 128, 16, 8):
+    # 128 fits under the raised per-kernel vmem limit
+    # (cloud_update.CompilerParams) at NQ=1024; 256 OOMs
+    for t in (128, 64, 32, 16, 8):
         if nr % t == 0:
             return t
     return None
