@@ -262,3 +262,4 @@ def test_two_process_distributed_session(tmp_path):
                     d = g["data"][()]
                     got[start:start + len(d)] = d
     np.testing.assert_allclose(got, expect, rtol=1e-14)
+
