@@ -227,3 +227,47 @@ def test_fused_stage_matches_jnp_stage():
                                    rtol=5e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
                                    rtol=5e-5, atol=1e-10)
+
+
+def test_fused_stage_matches_jnp_stage_evolved_warm():
+    """fused_stage vs the jnp stage on an EVOLVED state with a warm-started
+    Newton (the production path: p carried across steps)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.core import ops
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update(
+        {"nr": 128, "num_decades": 1.0})
+    state = cloud.new_solution(cfg)
+    rv = jnp.asarray(state.radial_vertices, jnp.float32)
+    qv = jnp.asarray(state.polar_vertices, jnp.float32)
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    geometry = (rv, qv, rc, qc, cloud.cell_volumes(rv, qv),
+                cloud.radial_face_areas(rv, qv),
+                cloud.polar_face_areas(rv, qv))
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    p = jnp.zeros_like(us[0])
+    t = 0.0
+    for _ in range(4):
+        us, p = cloud._advance_once_soa(us, t, geometry, jet_static, dt,
+                                        1.5, 2, 1e-6, p, fused=False)
+        t += dt
+
+    a, pa = cloud._advance_once_soa(us, t, geometry, jet_static, dt,
+                                    1.5, 2, 1e-6, p, fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        b, pb = cloud._advance_once_soa(us, t, geometry, jet_static, dt,
+                                        1.5, 2, 1e-6, p, fused="interpret")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                               rtol=5e-5, atol=1e-10)
