@@ -53,11 +53,13 @@ def orbital_period(e10):
 def _solve_kepler(ecc, M_anom):
     """E - e sin E = M by Newton (model_two_body.hpp:131-160), bounded.
 
-    4 Newton updates per while pass (already-converged values are fixed
-    points of the update, so per-value results match the one-per-pass loop;
-    Newton on Kepler is quadratic — typically one pass suffices): each
-    while iteration is a dispatched kernel + loop sync on TPU, and the
-    fast flagship step runs this scalar solve several times per step."""
+    4 Newton updates per while pass. Results match the reference's
+    one-update-per-check loop within the 1e-10 stopping tolerance (up to 3
+    extra Newton updates can land after the bound is first met, shifting
+    the answer at the tolerance level; Newton on Kepler is quadratic so
+    typically one pass suffices anyway): each while iteration is a
+    dispatched kernel + loop sync on TPU, and the fast flagship step runs
+    this scalar solve several times per step."""
     def cond(carry):
         x, it = carry
         return jnp.logical_and(jnp.abs(x - ecc * jnp.sin(x) - M_anom) > 1e-10,

@@ -200,10 +200,16 @@ def recover_primitive(U, gamma_law_index, temperature_floor=0.0,
     # precision |f| floors at ~eps * (tau + D + p) from cancellation; in
     # float32 a single cell above that floor forces the while loop through
     # all 50 iterations over the whole mesh (measured on the cloud run).
-    # In f64 the relative term is ~2e-15 * scale — inert below the
-    # reference bound for code-unit states — so parity is unchanged.
-    eps_rel = 8.0 * jnp.finfo(D.dtype).eps
-    f_floor = eps_rel * (jnp.abs(tau) + D)
+    # The relative floor is gated off in float64 (eps ~ 2e-16 < 1e-12)
+    # so f64 keeps the reference's exact absolute stopping rule even for
+    # large-magnitude states (tau + D >~ 1e5 code units).
+    eps = jnp.finfo(D.dtype).eps
+    if eps > 1e-12:  # f32 / bf16: cancellation floor above the 1e-10 bound
+        eps_rel = 8.0 * eps
+        f_floor = eps_rel * (jnp.abs(tau) + D)
+    else:            # f64: reference-exact absolute tolerance
+        eps_rel = 0.0
+        f_floor = 0.0
 
     def one_update(p, Wc, done):
         W, f, g = newton_vars(p)

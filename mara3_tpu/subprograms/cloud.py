@@ -185,6 +185,10 @@ class Solution:
     radial_vertices: jax.Array
     polar_vertices: jax.Array
     conserved: jax.Array  # extrinsic U*dv, [Nr, Nq, 5]
+    # run-local Newton warm-start carry (recovered pressure from the last
+    # stage). Not serialized — the checkpoint layout stays
+    # reference-compatible and a restart merely cold-starts one step.
+    pressure: jax.Array | None = None
 
 
 def new_solution(cfg) -> Solution:
@@ -388,6 +392,16 @@ def _pick_tx(nr):
     return None
 
 
+def _require_tx(nr):
+    tx = _pick_tx(nr)
+    if tx is None:
+        raise ValueError(
+            f"cloud fused kernel needs the radial extent divisible by 8 "
+            f"(Mosaic sublane alignment); got nr={nr}. Use fused=False / "
+            f"the jnp path for this grid.")
+    return min(tx, nr)
+
+
 def _flux_update_pallas(Pt, u0, inflow, geometry, dt, plm_theta, method,
                         interpret=False):
     """Fused-kernel form of _flux_update (kernels/cloud_update.py)."""
@@ -402,7 +416,7 @@ def _flux_update_pallas(Pt, u0, inflow, geometry, dt, plm_theta, method,
     cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr, nq))
     u1s = cloud_update.fused_flux_update(
         Pe, u0s, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
-        dt, plm_theta, method, TX=min(_pick_tx(nr), nr),
+        dt, plm_theta, method, TX=_require_tx(nr),
         interpret=interpret)
     return jnp.stack([u1s[k] for k in range(5)], axis=-1)
 
@@ -479,7 +493,7 @@ def _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta, method,
         u1s, p_out = cloud_update.fused_stage(
             inflow2, us, pg, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
             dt, plm_theta, method, temperature_floor,
-            TX=min(_pick_tx(nr_), nr_), interpret=fused == "interpret")
+            TX=_require_tx(nr_), interpret=fused == "interpret")
         return u1s, p_out
     Ut = tuple(us[k] / dv for k in range(5))
     Pt = srhd.recover_primitive_t(Ut, GAMMA_LAW_INDEX, temperature_floor,
@@ -531,14 +545,17 @@ def next_solution(state: Solution, cfg) -> Solution:
     jet = make_jet_nozzle_model(cfg)
     jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
                   units.mass_density, units.time)
-    u1 = _advance_rk(state.conserved, state.time,
-                     state.radial_vertices, state.polar_vertices,
-                     jet_static, dt, cfg.get_double("plm_theta"),
-                     cfg.get_int("reconstruct_method"),
-                     cfg.get_double("temperature_floor"),
-                     cfg.get_int("rk_order"))
+    p0 = (state.pressure if state.pressure is not None
+          else jnp.zeros(state.conserved.shape[:2],
+                         state.conserved.dtype))
+    u1, p1 = _advance_rk_carry(state.conserved, p0, state.time,
+                               state.radial_vertices, state.polar_vertices,
+                               jet_static, dt, cfg.get_double("plm_theta"),
+                               cfg.get_int("reconstruct_method"),
+                               cfg.get_double("temperature_floor"),
+                               cfg.get_int("rk_order"))
     return replace(state, time=state.time + dt,
-                   iteration=state.iteration + 1, conserved=u1)
+                   iteration=state.iteration + 1, conserved=u1, pressure=p1)
 
 
 # -----------------------------------------------------------------------------
