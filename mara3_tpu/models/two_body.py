@@ -103,7 +103,7 @@ def compute_two_body_state(params, t: float) -> TwoBodyState:
     e = params.eccentricity
     q = params.mass_ratio
     a = params.separation
-    omega = 0.0 if a == 0.0 else math.sqrt(params.total_mass / a ** 3)
+    omega = 0.0 if a == 0.0 else math.sqrt(params.total_mass / a / a / a)
     mu = q / (1.0 + q)
 
     def from_E(E):
@@ -179,15 +179,19 @@ def compute_orbital_elements(two_body: TwoBodyState, t: float) -> FullOrbitalEle
     y1 = c1.position_y - y_cm
     x2 = c2.position_x - x_cm
     y2 = c2.position_y - y_cm
-    r1 = math.hypot(x1, y1)
-    r2 = math.hypot(x2, y2)
+    # sqrt(x*x + y*y) and the /a/a chains below mirror the reference's
+    # exact evaluation order (model_two_body.hpp:323-348): the e == 0.0
+    # branch choice hangs on the last bit of 1 - b^2/a^2, so hypot() or
+    # a*a regrouping can flip it
+    r1 = math.sqrt(x1 * x1 + y1 * y1)
+    r2 = math.sqrt(x2 * x2 + y2 * y2)
     vx1 = c1.velocity_x - vx_cm
     vy1 = c1.velocity_y - vy_cm
     vx2 = c2.velocity_x - vx_cm
     vy2 = c2.velocity_y - vy_cm
     vf1 = -vx1 * y1 / r1 + vy1 * x1 / r1
     vf2 = -vx2 * y2 / r2 + vy2 * x2 / r2
-    v1 = math.hypot(vx1, vy1)
+    v1 = math.sqrt(vx1 * vx1 + vy1 * vy1)
 
     E1 = 0.5 * M1 * (vx1 ** 2 + vy1 ** 2)
     E2 = 0.5 * M2 * (vx2 ** 2 + vy2 ** 2)
@@ -203,8 +207,8 @@ def compute_orbital_elements(two_body: TwoBodyState, t: float) -> FullOrbitalEle
 
     a = -0.5 * M1 * M2 / E
     b = math.sqrt(-0.5 * L * L / E * (M1 + M2) / (M1 * M2))
-    e = math.sqrt(_clamp(0.0, 1.0, 1.0 - b * b / (a * a)))
-    omega = math.sqrt(M / a ** 3)
+    e = math.sqrt(_clamp(0.0, 1.0, 1.0 - b * b / a / a))
+    omega = math.sqrt(M / a / a / a)
 
     a1 = a * q / (1.0 + q)
     b1 = b * q / (1.0 + q)
