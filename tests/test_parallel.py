@@ -263,3 +263,64 @@ def test_two_process_distributed_session(tmp_path):
                     got[start:start + len(d)] = d
     np.testing.assert_allclose(got, expect, rtol=1e-14)
 
+
+
+def test_two_process_distributed_sedov_with_restart(tmp_path):
+    """A real physics workload across two processes: sedov (euler, pcm)
+    domain-decomposed over a 2-process mesh with ppermute guard exchange,
+    per-host sharded checkpoint, kill, restart from the shards, and a
+    final state that matches the single-process run at round-off
+    (VERDICT r2 item 5; SURVEY §2.2 'exercised end-to-end by at least one
+    workload')."""
+    import socket
+    import subprocess
+    import sys
+
+    import h5py
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "distributed_sedov_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+
+    def spawn_phase(phase):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(r), str(tmp_path), phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo) for r in (0, 1)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        assert f"distributed sedov {phase} OK" in outs[0]
+
+    spawn_phase("run")       # 10 steps, per-host shard checkpoint, exit
+    spawn_phase("restart")   # resume from shards, 10 more steps
+
+    # merge the final shards
+    from tests.distributed_sedov_worker import N_STEPS, NR
+    from mara3_tpu.subprograms import sedov
+
+    cfg = sedov.config_template().create().update({"nr": str(NR)})
+    s0 = sedov.new_solution(cfg)
+    parts = {}
+    for r in (0, 1):
+        with h5py.File(tmp_path / f"final.{r}.h5") as f:
+            parts[int(f["row_start"][()])] = f["conserved"][()]
+            t_final = float(f["time"][()])
+            i_final = int(f["iteration"][()])
+    got = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+    assert got.shape == s0.conserved.shape
+
+    # single-process oracle: the public advance over 2 * N_STEPS
+    dt = sedov.grid_dt(s0.vertices)
+    want = sedov.advance_n(s0.conserved, s0.vertices, dt, newtonian=True,
+                           num_steps=2 * N_STEPS, reconstruct="pcm")
+    # the oracle's tuple-form step reorders a few reductions vs the
+    # stacked sharded step; 20-step accumulated round-off is ~3e-13
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12,
+                               atol=1e-300)
+    assert i_final == 2 * N_STEPS
+    np.testing.assert_allclose(t_final, 2 * N_STEPS * dt, rtol=1e-14)
