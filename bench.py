@@ -33,12 +33,18 @@ def initial_state():
     return jnp.stack([sigma, sigma * vx, sigma * vy], axis=0)  # SoA [3,N,N]
 
 
-def _measure(f, n1: int, n2: int):
+def _measure(f, n1: int, n2: int, pairs: int = 5):
     """Marginal step rate between two step counts, synchronized by host
     readback (on this machine's TPU tunnel, block_until_ready can return
     before execution completes and a device->host copy is the only honest
     fence; the two-point difference also cancels dispatch/transfer
-    overhead)."""
+    overhead).
+
+    Protocol (round 3): `pairs` independent (t1, t2) marginal estimates
+    taken back-to-back, report the MEDIAN and the relative spread — the
+    shared tunnel's run-to-run noise swung single-shot numbers by ~40%
+    round over round (VERDICT r2 weak #6). Each pair still uses the min
+    of 2 timings per point to shed one-off scheduling hiccups."""
     import numpy as np
 
     out = np.asarray(f(n1))   # compile + warm up both
@@ -50,9 +56,15 @@ def _measure(f, n1: int, n2: int):
         np.asarray(f(n))
         return time.perf_counter() - t0
 
-    t1 = min(once(n1) for _ in range(3))
-    t2 = min(once(n2) for _ in range(3))
-    return N * N * (n2 - n1) / max(t2 - t1, 1e-9)
+    rates = []
+    for _ in range(pairs):
+        t1 = min(once(n1) for _ in range(2))
+        t2 = min(once(n2) for _ in range(2))
+        rates.append(N * N * (n2 - n1) / max(t2 - t1, 1e-9))
+    rates.sort()
+    median = rates[len(rates) // 2]
+    spread = (rates[-1] - rates[0]) / median
+    return median, spread
 
 
 def run_pallas(u, cs2, dtdx):
@@ -63,7 +75,8 @@ def run_pallas(u, cs2, dtdx):
     def f(n):
         return K.advance_n_pallas_v3(u, n, G=4, cs2=cs2, dtdx=dtdx,
                                      dtdy=dtdx, theta=1.8, tile=(64, 1024))
-    return _measure(f, 52, 4052), "pallas_fused_v3"
+    zps, spread = _measure(f, 52, 4052)
+    return zps, spread, "pallas_fused_v3"
 
 
 def run_jnp(u, cs2, dtdx):
@@ -78,7 +91,8 @@ def run_jnp(u, cs2, dtdx):
                                                     dtdx * dx)
         return jax.lax.fori_loop(0, n, body, u_cl)
 
-    return _measure(advance, 20, 120), "jnp_fallback"
+    zps, spread = _measure(advance, 20, 120)
+    return zps, spread, "jnp_fallback"
 
 
 def main():
@@ -87,15 +101,16 @@ def main():
     dx = 2.0 / N
     dt = 0.4 * dx
     try:
-        zps, path = run_pallas(u, cs2, dt / dx)
+        zps, spread, path = run_pallas(u, cs2, dt / dx)
     except Exception:
-        zps, path = run_jnp(u, cs2, dt / dx)
+        zps, spread, path = run_jnp(u, cs2, dt / dx)
 
     print(json.dumps({
         "metric": f"zone_updates_per_second_iso2d_{N}_{path}",
         "value": zps,
         "unit": "zones/s",
         "vs_baseline": zps / BASELINE_ZPS,
+        "spread_pct": round(100.0 * spread, 1),
     }))
 
 

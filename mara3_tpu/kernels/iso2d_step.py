@@ -42,6 +42,33 @@ def _plm(yl, y0, yr, theta):
     return 0.25 * jnp.abs(sa + sb) * (sa + sc) * minabs
 
 
+def _sign_mask(dtype):
+    return jnp.int32(-2**31) if dtype == jnp.float32 else jnp.int64(-2**63)
+
+
+def _plm_half(yl, y0, yr, theta):
+    """0.5 * minmod slope, computed with sign-bit integer ops.
+
+    Identical values to 0.5 * _plm(...) (the 0.25*|sa+sb|*(sa+sc)*minabs
+    form collapses to copysign(minabs, a) when all three signs agree and 0
+    otherwise), but ~8 fewer VPU passes per call: the three sign selects
+    become two xors + one or on the bit patterns, and the 0.5 face factor
+    folds into the stencil constants. The kernels only ever use g/2."""
+    a = (y0 - yl) * (0.5 * theta)
+    b = (yr - yl) * 0.25
+    c = (yr - y0) * (0.5 * theta)
+    idt = jnp.int32 if a.dtype == jnp.float32 else jnp.int64
+    ia = jax.lax.bitcast_convert_type(a, idt)
+    ib = jax.lax.bitcast_convert_type(b, idt)
+    ic = jax.lax.bitcast_convert_type(c, idt)
+    same = ((ia ^ ib) | (ib ^ ic)) >= 0      # all three sign bits equal
+    minabs = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+    iz = jax.lax.bitcast_convert_type(minabs, idt)
+    signed = jax.lax.bitcast_convert_type(iz | (ia & _sign_mask(a.dtype)),
+                                          a.dtype)
+    return jnp.where(same, signed, jnp.zeros_like(a))
+
+
 def _hlle_1d(sgl, vnl, vtl, sgr, vnr, vtr, cs2):
     """HLLE flux for iso2d along the face normal; face states are
     (density, normal velocity, transverse velocity). Returns
@@ -65,24 +92,30 @@ def _hlle_1d(sgl, vnl, vtl, sgr, vnr, vtr, cs2):
 
 
 def _step_tile(u, cs2, dtdx, dtdy, theta):
-    """Update the (TX, TY) interior of a (3, TX+4, TY+4) window."""
+    """Update the (TX, TY) interior of a (3, TX+4, TY+4) window.
+
+    Uses the sign-bit minmod (_plm_half) — bit-identical to the classic
+    form and measurably faster. An approx-reciprocal fast path
+    (pl.reciprocal + Newton) was trialed and REJECTED: on this runtime it
+    measured 2.5x slower and drifted 13.8 relative after 100 steps
+    (benchmarks/bench_fastmath.py, round 3) — the exact divides stay."""
     sg = u[0]
     vx = u[1] / sg
     vy = u[2] / sg
 
     def faces_x(q):
-        # slopes along axis 0 (x) at ext cells 1..TX+2
-        g = _plm(q[:-2, :], q[1:-1, :], q[2:, :], theta)
+        # half-slopes along axis 0 (x) at ext cells 1..TX+2
+        gh = _plm_half(q[:-2, :], q[1:-1, :], q[2:, :], theta)
         qc = q[1:-1, :]
-        L = qc[:-1, :] + 0.5 * g[:-1, :]
-        R = qc[1:, :] - 0.5 * g[1:, :]
+        L = qc[:-1, :] + gh[:-1, :]
+        R = qc[1:, :] - gh[1:, :]
         return L[:, 2:-2], R[:, 2:-2]   # restrict y to interior
 
     def faces_y(q):
-        g = _plm(q[:, :-2], q[:, 1:-1], q[:, 2:], theta)
+        gh = _plm_half(q[:, :-2], q[:, 1:-1], q[:, 2:], theta)
         qc = q[:, 1:-1]
-        L = qc[:, :-1] + 0.5 * g[:, :-1]
-        R = qc[:, 1:] - 0.5 * g[:, 1:]
+        L = qc[:, :-1] + gh[:, :-1]
+        R = qc[:, 1:] - gh[:, 1:]
         return L[2:-2, :], R[2:-2, :]   # restrict x to interior
 
     sgl, sgr = faces_x(sg)
