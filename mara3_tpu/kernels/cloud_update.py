@@ -486,3 +486,229 @@ def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(inflow, ue2, pg2, dv2, u_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)
+
+
+# -----------------------------------------------------------------------------
+# v3: BOTH RK2 stages in ONE launch (round-3 VERDICT item 2). Radial
+# temporal blocking: each tile fetches a TX+8-row window (4 halo rows per
+# side), stage 1 produces u1 on TX+4 interior-window rows, stage 2 (Newton
+# warm-started from stage 1's in-register pressures) produces u2 on the TX
+# output rows, and the kernel writes the Shu-Osher average (u0 + u2)/2 —
+# per-cell arithmetic identical to two fused_stage launches
+# (subprog_cloud.cpp:676-697 semantics), at half the launch count and with
+# no inter-stage HBM round trip.
+# -----------------------------------------------------------------------------
+
+def _stage_window(Pw, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
+                  gzero_rows, dt, theta, method, TX, NQ):
+    """One RK stage on a full (TX+8, NQ) window: returns u_next on the
+    TX+4 rows w = 2..TX+5 (callers read what they need). Pw must already
+    carry the BC-substituted primitives; gzero_rows is the (TX+6, NQ)
+    guard-row mask for rows w = 1..TX+6 (PLM slopes are zero at the
+    extended-array edges, subprograms/cloud._face_states_1)."""
+    # ---- radial faces: face j sits between rows j and j+1, j = 1..TX+5
+    def faces_r(c):
+        if method == 1:
+            return c[1:TX + 6], c[2:TX + 7]
+        g = _plm(c[0:TX + 6], c[1:TX + 7], c[2:TX + 8], theta)
+        g = jnp.where(gzero_rows, 0.0, g)      # g index a <-> row a+1
+        L = c[1:TX + 6] + 0.5 * g[0:TX + 5]
+        R = c[2:TX + 7] - 0.5 * g[1:TX + 6]
+        return L, R
+
+    LRr = [faces_r(c) for c in Pw]
+    Fr = _hlle_t(tuple(l for l, _ in LRr), tuple(r for _, r in LRr), 0)
+    # F index j (faces (j+1, j+2)); update rows w = 2..TX+5: low face
+    # F[w-2] area darw[w], high face F[w-1] area darw[w+1]
+    lr = tuple(-(f[1:TX + 5] * darw[3:TX + 7] - f[0:TX + 4] * darw[2:TX + 6])
+               for f in Fr)
+
+    # ---- polar axis on rows 2..TX+5
+    P = tuple(c[2:TX + 6] for c in Pw)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TX + 4, NQ), 1)
+
+    def roll_r(c):
+        return pltpu.roll(c, 1, 1)
+
+    def roll_l(c):
+        return pltpu.roll(c, NQ - 1, 1)
+
+    if method == 1:
+        Gq = tuple(jnp.zeros_like(c) for c in P)
+    else:
+        edge = jnp.logical_or(lane == 0, lane == NQ - 1)
+        Gq = tuple(jnp.where(edge, 0.0,
+                             _plm(roll_r(c), c, roll_l(c), theta))
+                   for c in P)
+
+    Ll = tuple(roll_r(c) + 0.5 * roll_r(g) for c, g in zip(P, Gq))
+    Rl = tuple(c - 0.5 * g for c, g in zip(P, Gq))
+    FL = _hlle_t(Ll, Rl, 1)
+    FL = tuple(jnp.where(lane == 0, 0.0, f) for f in FL)
+    FH = tuple(jnp.where(lane == NQ - 1, 0.0, roll_l(f)) for f in FL)
+    lq = tuple(fl * daqlw[2:TX + 6] - fh * daqhw[2:TX + 6]
+               for fl, fh in zip(FL, FH))
+
+    rho, ur, uq, up, pg = P
+    invr = invrw[2:TX + 6]
+    cotq = cotqw[2:TX + 6]
+    H = rho + pg * (1.0 + 1.0 / (GAMMA - 1.0))
+    s1 = (2.0 * pg + H * (uq * uq + up * up)) * invr
+    s2 = (cotq * pg + H * (up * up * cotq - ur * uq)) * invr
+    s3 = -up * H * (ur + uq * cotq) * invr
+    z = jnp.zeros_like(pg)
+    s0 = (z, s1, s2, s3, z)
+
+    dv = dvw[2:TX + 6]
+    return tuple(u0w[k][2:TX + 6] + (lr[k] + lq[k] + s0[k] * dv) * dt
+                 for k in range(5))
+
+
+def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
+                invr_ref, cotq_ref, daql_ref, daqh_ref,
+                uout_ref, pout_ref,
+                ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
+                u1w_s, p_scr, w_scr, done_scr,
+                sems,
+                *, TX, NQ, NR, dt, theta, method, tfloor):
+    i = pl.program_id(0)
+
+    dmas = []
+    for k, (ref, scratch, rows) in enumerate((
+            (ue_ref, ue_s, True), (pg_ref, pg_s, False),
+            (dvw_ref, dvw_s, False), (dar_ref, dar_s, False),
+            (invr_ref, invr_s, False), (cotq_ref, cotq_s, False),
+            (daql_ref, daql_s, False), (daqh_ref, daqh_s, False))):
+        src = ref.at[:, pl.ds(i * TX, TX + 8)] if rows \
+            else ref.at[pl.ds(i * TX, TX + 8)]
+        dma = pltpu.make_async_copy(src, scratch, sems.at[k])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    # window row w <-> interior row g = i*TX - 4 + w
+    g0 = i * TX - 4
+    rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 8, NQ), 0) + g0
+    interior = jnp.logical_and(rw >= 0, rw < NR)
+    gzero_rows = jnp.logical_or(rw[1:TX + 7] == -1, rw[1:TX + 7] == NR)
+
+    dvw = dvw_s[...]
+    darw = dar_s[...]
+    invrw = invr_s[...]
+    cotqw = cotq_s[...]
+    daqlw = daql_s[...]
+    daqhw = daqh_s[...]
+
+    def with_bc(P5, inflow_ref):
+        """Substitute the inflow guard row (g = -1) and the zero-gradient
+        outer guard (g = NR, copy of the row below)."""
+        shifted = tuple(pltpu.roll(c, 1, 0) for c in P5)
+        out = []
+        for k in range(5):
+            c = jnp.where(rw == -1, inflow_ref[k], P5[k])
+            c = jnp.where(rw == NR, shifted[k], c)
+            out.append(c)
+        return tuple(out)
+
+    # ---- stage 1: recover the whole window, warm-started from p_prev
+    u0w = tuple(ue_s[k] for k in range(5))
+    Uw = tuple(jnp.where(interior, u0w[k] / dvw, 1.0) for k in range(5))
+    p0 = jnp.maximum(pg_s[...], 0.0)
+    done0 = 1.0 - interior.astype(p0.dtype)
+    P1, _ = _recover_window(Uw, jnp.where(interior, p0, 0.0), done0,
+                            tfloor, p_scr, w_scr, done_scr)
+    Pw1 = with_bc(P1, inflow1_ref)
+
+    U1 = _stage_window(Pw1, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
+                       gzero_rows, dt, theta, method, TX, NQ)
+    # embed u1 into a full window (halo rows 0,1 and TX+6,TX+7 are dummies
+    # that start converged in stage 2's Newton)
+    for k in range(5):
+        u1w_s[k, 0:2] = jnp.ones((2, NQ), U1[0].dtype)
+        u1w_s[k, 2:TX + 6] = U1[k]
+        u1w_s[k, TX + 6:TX + 8] = jnp.ones((2, NQ), U1[0].dtype)
+
+    # ---- stage 2: valid on rows 2..TX+5; warm-started from stage 1's p
+    valid2 = jnp.logical_and(interior,
+                             jnp.logical_and(rw >= g0 + 2, rw <= g0 + TX + 5))
+    u1w = tuple(u1w_s[k] for k in range(5))
+    Uw2 = tuple(jnp.where(valid2, u1w[k] / dvw, 1.0) for k in range(5))
+    # seed from stage 1's FLOORED pressure — what the two-launch version's
+    # carry hands the second stage (fused_stage pout)
+    p1 = jnp.maximum(P1[4], 0.0)
+    done2 = 1.0 - valid2.astype(p1.dtype)
+    P2, _ = _recover_window(Uw2, jnp.where(valid2, p1, 0.0), done2,
+                            tfloor, p_scr, w_scr, done_scr)
+    Pw2 = with_bc(P2, inflow2_ref)
+
+    U2 = _stage_window(Pw2, u1w, darw, dvw, invrw, cotqw, daqlw, daqhw,
+                       gzero_rows, dt, theta, method, TX, NQ)
+
+    # ---- output rows g = i*TX..i*TX+TX-1 are window rows 4..TX+3 =
+    # U-array indices 2..TX+1; Shu-Osher average
+    for k in range(5):
+        uout_ref[k] = 0.5 * u0w[k][4:TX + 4] + 0.5 * U2[k][2:TX + 2]
+    pout_ref[...] = P2[4][4:TX + 4]
+
+
+def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
+                   daq_lo, daq_hi, dt, plm_theta, method, tfloor, TX=64,
+                   interpret=False):
+    """One pallas launch for a FULL RK2 step (both stages + the average).
+    inflow1/inflow2 [5, NQ] primitive guard rows at t and t + dt. Returns
+    (u_rk2, stage-2 recovered pressure) — per-cell identical to
+    0.5*u0 + 0.5*fused_stage(fused_stage(u0)) with the pressure carry."""
+    _, NR, NQ = u_soa.shape
+    assert NR % TX == 0 and NQ % 128 == 0
+    gi = NR // TX
+    dtype = u_soa.dtype
+
+    # padded so every tile's (TX+8)-row fetch at 8-aligned start i*TX is
+    # in-bounds: padded row p <-> interior row p - 4 (faces: face p - 4)
+    ue3 = jnp.pad(u_soa, ((0, 0), (4, 4), (0, 0)))
+    pg3 = jnp.pad(p_guess, ((4, 4), (0, 0)))
+    dv3 = jnp.pad(dv, ((4, 4), (0, 0)), constant_values=1.0)
+    dar3 = jnp.pad(dAr, ((4, 3), (0, 0)))
+    invr3 = jnp.pad(invr, ((4, 4), (0, 0)))
+    cotq3 = jnp.pad(cotq, ((4, 4), (0, 0)))
+    daql3 = jnp.pad(daq_lo, ((4, 4), (0, 0)))
+    daqh3 = jnp.pad(daq_hi, ((4, 4), (0, 0)))
+
+    kernel = functools.partial(_kernel_rk2, TX=TX, NQ=NQ, NR=NR,
+                               dt=float(dt), theta=float(plm_theta),
+                               method=int(method), tfloor=float(tfloor))
+
+    win = lambda: pltpu.VMEM((TX + 8, NQ), dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(gi,),
+        in_specs=[
+            pl.BlockSpec((5, NQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # inflow at t
+            pl.BlockSpec((5, NQ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # inflow at t + dt
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 8,
+        out_specs=(
+            pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TX, NQ), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((5, NR, NQ), dtype),
+            jax.ShapeDtypeStruct((NR, NQ), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((5, TX + 8, NQ), dtype),       # ue window
+            win(), win(), win(), win(), win(), win(), win(),
+            pltpu.VMEM((5, TX + 8, NQ), dtype),       # u1 window
+            win(), win(), win(),                      # Newton p/W/done
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(inflow1, inflow2, ue3, pg3, dv3, dar3, invr3, cotq3, daql3, daqh3)

@@ -510,6 +510,30 @@ def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
     qc = ops.midpoint_on_axis(qv)
     geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
                 radial_face_areas(rv, qv), polar_face_areas(rv, qv))
+    nr_, nq_ = us.shape[1], us.shape[2]
+    if fused is None:
+        fused = (jax.default_backend() == "tpu" and nq_ % 128 == 0
+                 and _pick_tx(nr_) is not None)
+
+    if rk_order == 2 and fused:
+        # BOTH stages (with the in-kernel Newton warm-start chain) in ONE
+        # pallas launch via radial temporal blocking — per-cell identical
+        # to the two-stage path (tests/test_subprogram_cloud.py)
+        from mara3_tpu.kernels import cloud_update
+        rv_, qv_, rc_, qc_, dv, dAr, dAq = geometry
+        inf1 = _inflow_row(qc_, t, jet_static)
+        inf2 = _inflow_row(qc_, t + dt, jet_static)
+        inf1 = jnp.stack([inf1[0, :, k] for k in range(5)])
+        inf2 = jnp.stack([inf2[0, :, k] for k in range(5)])
+        invr = jnp.broadcast_to((1.0 / rc_)[:, None], (nr_, nq_))
+        cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc_)[None, :],
+                                (nr_, nq_))
+        pg = (jnp.zeros_like(us[0]) if p_prev is None
+              else jnp.asarray(p_prev))
+        return cloud_update.fused_step_rk2(
+            inf1, inf2, us, pg, dv, invr, cotq, dAr, dAq[:, :-1],
+            dAq[:, 1:], dt, plm_theta, method, temperature_floor,
+            TX=min(64, _require_tx(nr_)), interpret=fused == "interpret")
 
     u1, p1 = _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta,
                                method, temperature_floor, p_prev, fused)

@@ -271,3 +271,71 @@ def test_fused_stage_matches_jnp_stage_evolved_warm():
                                rtol=5e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
                                rtol=5e-5, atol=1e-10)
+
+
+def test_fused_rk2_step_matches_two_stages():
+    """kernels/cloud_update.fused_step_rk2 (BOTH RK2 stages + average in
+    one launch, interpret mode) must be per-cell identical to two
+    fused_stage launches with the pressure carry, and the public carry
+    path must route through it (fused='interpret')."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.core import ops
+    from mara3_tpu.kernels import cloud_update as CU
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update(
+        {"nr": 128, "num_decades": 1.0})
+    state = cloud.new_solution(cfg)
+    rv = jnp.asarray(state.radial_vertices, jnp.float32)
+    qv = jnp.asarray(state.polar_vertices, jnp.float32)
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    dv = cloud.cell_volumes(rv, qv)
+    dAr = cloud.radial_face_areas(rv, qv)
+    dAq = cloud.polar_face_areas(rv, qv)
+    nr, nq = dv.shape
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+    t = 0.0
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    pg = jnp.zeros_like(us[0])
+    inf1 = cloud._inflow_row(qc, t, jet_static)
+    inf2 = cloud._inflow_row(qc, t + dt, jet_static)
+    inf1 = jnp.stack([inf1[0, :, k] for k in range(5)]).astype(jnp.float32)
+    inf2 = jnp.stack([inf2[0, :, k] for k in range(5)]).astype(jnp.float32)
+    invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr, nq))
+    cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr, nq))
+
+    with pltpu.force_tpu_interpret_mode():
+        u1a, p1a = CU.fused_stage(inf1, us, pg, dv, invr, cotq, dAr,
+                                  dAq[:, :-1], dAq[:, 1:], dt, 1.5, 2,
+                                  1e-6, TX=16, interpret=True)
+        u2a, p2a = CU.fused_stage(inf2, u1a, p1a, dv, invr, cotq, dAr,
+                                  dAq[:, :-1], dAq[:, 1:], dt, 1.5, 2,
+                                  1e-6, TX=16, interpret=True)
+        got, pgot = CU.fused_step_rk2(inf1, inf2, us, pg, dv, invr, cotq,
+                                      dAr, dAq[:, :-1], dAq[:, 1:], dt,
+                                      1.5, 2, 1e-6, TX=16, interpret=True)
+    want = 0.5 * us + 0.5 * u2a
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(pgot), np.asarray(p2a),
+                               rtol=0, atol=0)
+
+    # the public carry path (rk_order=2, fused) routes through the single
+    # launch and tracks the jnp two-stage path
+    with pltpu.force_tpu_interpret_mode():
+        ub, pb = cloud._advance_rk_carry_soa(
+            us, pg, t, rv, qv, jet_static, dt, 1.5, 2, 1e-6, 2,
+            fused="interpret")
+    ua, pa = cloud._advance_rk_carry_soa(
+        us, pg, t, rv, qv, jet_static, dt, 1.5, 2, 1e-6, 2, fused=False)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ua),
+                               rtol=5e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                               rtol=5e-5, atol=1e-10)
