@@ -1,0 +1,104 @@
+"""Attribute the flagship full-step overhead (VERDICT r3 item 3).
+
+Measures the d6b96 rk1 fast-scan step with pieces disabled:
+  full        — stock scan step (CFL + advance + bookkeeping + info)
+  fixed_dt    — no CFL reduce (cfg fixed_dt=1; reference comment says ~10%)
+  no_book     — CFL + advance only (bookkeeping=False)
+  advance     — bare advance kernel in a scan (no CFL, no bookkeeping)
+
+Long marginal windows (5 vs 205 steps) to get under the tunnel noise.
+Run detached: nohup python benchmarks/bench_binary_decomp.py > /tmp/bdecomp.log 2>&1 &
+"""
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def marginal(f, n1, n2, reps=3):
+    np.asarray(jax.tree.leaves(f(n1))[0])
+    np.asarray(jax.tree.leaves(f(n2))[0])
+
+    def once(n):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree.leaves(f(n))[0])
+        return time.perf_counter() - t0
+
+    t1 = min(once(n1) for _ in range(reps))
+    t2 = min(once(n2) for _ in range(reps))
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+
+    for label, over in (("full", {}), ("fixed_dt", {"fixed_dt": 1})):
+        cfg = B.create_config_template().create().update(
+            {"depth": 6, "block_size": 96, "rk_order": 1, **over})
+        sd = B.create_solver_data(cfg)
+        sol = B.create_solution(cfg, sd)
+        s0 = binary_step.solution_to_arrays(
+            sol, jnp.asarray(sd.initial_conserved).dtype)
+        nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
+              * s0["conserved"].shape[3])
+        scan_steps = binary_step.make_fast_scan(sd)
+
+        def f(n):
+            s, rows = scan_steps(s0, n)
+            return s["conserved"]
+
+        per = marginal(f, 5, 205)
+        print(json.dumps({"case": label, "ms_per_step": per * 1e3,
+                          "zps": nz / per}), flush=True)
+
+    # no bookkeeping (CFL + advance), and bare advance
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
+          * s0["conserved"].shape[3])
+
+    step_nb = binary_step.make_fast_step(sd, bookkeeping=False, retry=False)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_nb(s, n: int):
+        def body(s, _):
+            s1, _ = step_nb.traced(s)
+            return s1, None
+        s2, _ = jax.lax.scan(body, s, length=n)
+        return s2
+
+    per = marginal(lambda n: scan_nb(s0, n)["conserved"], 5, 205)
+    print(json.dumps({"case": "no_book", "ms_per_step": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+    # bare advance: fixed dt, fixed bodies
+    from mara3_tpu.models import two_body
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)))
+    adv = sd.advance.traced_soa
+    dt = jnp.asarray(sd.recommended_time_step, s0["conserved"].dtype)
+    th = jnp.asarray(sd.plm_theta, s0["conserved"].dtype)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_adv(uT, n: int):
+        def body(u, _):
+            u1, t, inv = adv(u, bodies, dt, th)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_adv(s0["conserved"], n), 5, 205)
+    print(json.dumps({"case": "advance", "ms_per_step": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

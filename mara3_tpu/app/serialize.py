@@ -150,3 +150,92 @@ def append_time_series(dataset, row):
     n = dataset.shape[0]
     dataset.resize((n + 1,))
     dataset[n] = row
+
+
+# -----------------------------------------------------------------------------
+# typed write/read dispatch with a user-extensible registry — the analog of
+# the reference's hdf5_type_info<T> trait (core_hdf5.hpp:62-68, 421-500):
+# every custom type plugs in a (writer, reader) pair once and then flows
+# through the same mara::write / mara::read entry points
+# (app_serialize.hpp:55-57, 129-165).
+# -----------------------------------------------------------------------------
+
+_TYPE_REGISTRY: Dict[type, Tuple[object, object]] = {}
+
+
+def register_type(cls, writer, reader):
+    """Register `cls` for the generic write()/read() dispatch.
+
+    writer(group, name, value) stores the value under `name`;
+    reader(group, name) -> value reconstructs it. Later registrations
+    override earlier ones (like a more specific trait specialization)."""
+    _TYPE_REGISTRY[cls] = (writer, reader)
+
+
+def write(group, name: str, value):
+    """Typed store: dispatch on the value's class (walking its MRO, so a
+    subclass inherits its base's serializer), falling back to plain
+    numpy conversion for array-likes."""
+    for cls in type(value).__mro__:
+        if cls in _TYPE_REGISTRY:
+            _TYPE_REGISTRY[cls][0](group, name, value)
+            return
+    if name in group:
+        del group[name]
+    group[name] = np.asarray(value)
+
+
+def read(group, name: str, cls):
+    """Typed load: the inverse of write() for a registered `cls` (or a raw
+    numpy array when unregistered)."""
+    for c in cls.__mro__:
+        if c in _TYPE_REGISTRY:
+            return _TYPE_REGISTRY[c][1](group, name)
+    return np.asarray(group[name][()])
+
+
+def _write_str(group, name, value):
+    if name in group:
+        del group[name]
+    group[name] = np.bytes_(value)
+
+
+def _write_config(group, name, value):
+    write_config(group.require_group(name), value)
+
+
+def _write_schedule(group, name, value):
+    write_schedule(group.require_group(name), value)
+
+
+def _read_schedule(group, name):
+    return read_schedule(group[name])
+
+
+def _write_fraction(group, name, value):
+    # the reference stores rationals as a [num, den] pair
+    # (app_serialize.hpp:274-289)
+    if name in group:
+        del group[name]
+    group[name] = np.asarray([value.numerator, value.denominator], np.int64)
+
+
+def _read_fraction(group, name):
+    from fractions import Fraction
+    num, den = (int(v) for v in group[name][()])
+    return Fraction(num, den)
+
+
+register_type(str, _write_str, lambda g, n: g[n][()].decode())
+register_type(bool, lambda g, n, v: g.__setitem__(n, np.bool_(v)),
+              lambda g, n: bool(g[n][()]))
+register_type(int, lambda g, n, v: g.__setitem__(n, np.int64(v)),
+              lambda g, n: int(g[n][()]))
+register_type(float, lambda g, n, v: g.__setitem__(n, np.float64(v)),
+              lambda g, n: float(g[n][()]))
+register_type(Config, _write_config,
+              lambda g, n: read_config(g[n]))
+register_type(Schedule, _write_schedule, _read_schedule)
+
+import fractions as _fractions  # noqa: E402
+register_type(_fractions.Fraction, _write_fraction, _read_fraction)
