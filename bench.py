@@ -43,17 +43,28 @@ def _measure(f, n1: int, n2: int, pairs: int = 5):
     Protocol (round 3): `pairs` independent (t1, t2) marginal estimates
     taken back-to-back, report the MEDIAN and the relative spread — the
     shared tunnel's run-to-run noise swung single-shot numbers by ~40%
-    round over round (VERDICT r2 weak #6). Each pair still uses the min
-    of 2 timings per point to shed one-off scheduling hiccups."""
+    round over round (VERDICT r2 weak #6). The fence is a SCALAR sum
+    readback, not the full state: a 50 MB tunnel readback costs ~1 s with
+    its own jitter and was the dominant noise term (bench_kernel_sweep
+    learned this in round 2). Each timing point uses the min of 2 to shed
+    one-off scheduling hiccups."""
     import numpy as np
 
-    out = np.asarray(f(n1))   # compile + warm up both
+    out = np.asarray(f(n1))   # compile + warm up; full check once
     assert not np.isnan(out).any(), "NaN in benchmark state"
     np.asarray(f(n2))
 
+    import jax.numpy as _jnp
+
+    def fence(n):
+        return np.asarray(_jnp.sum(f(n)))
+
+    fence(n1)  # compile the fenced forms
+    fence(n2)
+
     def once(n):
         t0 = time.perf_counter()
-        np.asarray(f(n))
+        fence(n)
         return time.perf_counter() - t0
 
     rates = []
