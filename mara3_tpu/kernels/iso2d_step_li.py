@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mara3_tpu.kernels.iso2d_step import _plm
+from mara3_tpu.kernels.iso2d_step import _plm_half
 from mara3_tpu.kernels.iso2d_step_v2 import build_halo_strips
 
 
@@ -75,17 +75,17 @@ def _step_tile_li(u, ox, oy, geom, dtdx, dtdy, theta):
     vy = u[2] / sg
 
     def faces_x(q):
-        g = _plm(q[:-2, :], q[1:-1, :], q[2:, :], theta)
+        gh = _plm_half(q[:-2, :], q[1:-1, :], q[2:, :], theta)
         qc = q[1:-1, :]
-        L = qc[:-1, :] + 0.5 * g[:-1, :]
-        R = qc[1:, :] - 0.5 * g[1:, :]
+        L = qc[:-1, :] + gh[:-1, :]
+        R = qc[1:, :] - gh[1:, :]
         return L[:, 2:-2], R[:, 2:-2]
 
     def faces_y(q):
-        g = _plm(q[:, :-2], q[:, 1:-1], q[:, 2:], theta)
+        gh = _plm_half(q[:, :-2], q[:, 1:-1], q[:, 2:], theta)
         qc = q[:, 1:-1]
-        L = qc[:, :-1] + 0.5 * g[:, :-1]
-        R = qc[:, 1:] - 0.5 * g[:, 1:]
+        L = qc[:, :-1] + gh[:, :-1]
+        R = qc[:, 1:] - gh[:, 1:]
         return L[2:-2, :], R[2:-2, :]
 
     # x-faces: face f between ext cells f+1, f+2 -> x = ox + (f+1.5) dx;
