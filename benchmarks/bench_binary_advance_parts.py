@@ -1,0 +1,180 @@
+"""Micro-attribution inside the flagship fused advance (d6b96):
+  front   — recovery + guard strips + edge gradients + packing (jnp)
+  kernel  — the single pallas launch with PREBUILT strips
+  fixup   — the coarse-fine edge fixup alone
+  whole   — the full advance_soa
+Scan-based marginal timing with scalar fences.
+Run: nohup python benchmarks/bench_binary_advance_parts.py > /tmp/bparts.log 2>&1 &
+"""
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def marginal(f, n1, n2, reps=3):
+    def g(n):
+        return np.asarray(jnp.sum(jax.tree.leaves(f(n))[0]))
+
+    g(n1)
+    g(n2)
+
+    def once(n):
+        t0 = time.perf_counter()
+        g(n)
+        return time.perf_counter() - t0
+
+    rates = []
+    for _ in range(reps):
+        t1 = min(once(n1) for _ in range(2))
+        t2 = min(once(n2) for _ in range(2))
+        rates.append((t2 - t1) / (n2 - n1))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def main():
+    from mara3_tpu.kernels import binary_advance
+    from mara3_tpu.mesh import block_layout
+    from mara3_tpu.models import two_body
+    from mara3_tpu.schemes import binary_scheme
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+    adv = sd.advance.traced_soa
+    nz = uT0.shape[0] * uT0.shape[2] * uT0.shape[3]
+
+    # ---- whole advance
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_whole(uT, n: int):
+        def body(u, _):
+            u1, t, inv = adv(u, bodies, dt, th)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_whole(uT0, n), 5, 205)
+    print(json.dumps({"case": "whole", "ms": per * 1e3, "zps": nz / per}),
+          flush=True)
+
+    # ---- front only (recover + strips + edge gradients + packing):
+    # replicate the front from _make_advance_chunked via its internals
+    scfg = sd.cfg_scheme
+    nt = sd.nt
+    bs = scfg.block_size
+    consts = block_layout.build_soa_guard(nt, bs)
+    recover = sd.advance.recover_soa
+    from mara3_tpu.mathx.plm import plm_gradient
+    sp_j = jnp.asarray(sd.geometry[2], jnp.float32)
+    sp3 = sp_j[:, None, None]
+
+    def front(uT):
+        pT = recover(uT)
+        pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, consts, 0)
+        pylo, pyhi = block_layout.guard_strips_soa(pT, nt, consts, 1)
+
+        def gx_at_rows(rows):
+            outs = []
+            for r in rows:
+                yl = pxlo if r == 0 else pT[:, :, r - 1]
+                yr = pxhi if r == bs - 1 else pT[:, :, r + 1]
+                outs.append(plm_gradient(yl, pT[:, :, r], yr, th) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        def gy_at_rows(rows):
+            outs = []
+            for r in rows:
+                row = pT[:, :, r]
+                ext = jnp.concatenate([pylo[:, :, r:r + 1], row,
+                                       pyhi[:, :, r:r + 1]], axis=2)
+                outs.append(plm_gradient(ext[:, :, :-2], ext[:, :, 1:-1],
+                                         ext[:, :, 2:], th) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        edge = (0, 1, bs - 2, bs - 1)
+        E_G_x = jnp.concatenate([gx_at_rows(edge), gy_at_rows(edge)], axis=1)
+        Gxlo, Gxhi = block_layout.guard_strips_from_edges(E_G_x, nt,
+                                                          consts, 0)
+        strips = jnp.stack([
+            jnp.concatenate([pxlo, Gxlo], axis=1),
+            jnp.concatenate([pxhi, Gxhi], axis=1),
+            jnp.concatenate([pylo, Gxlo], axis=1),   # stand-in, same cost
+            jnp.concatenate([pyhi, Gxhi], axis=1)], axis=1)
+        return pT, strips
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_front(uT, n: int):
+        def body(u, _):
+            pT, strips = front(u)
+            # feed something state-dependent back so the scan can't elide
+            return u + 0.0 * pT, strips[0, 0, 0, 0]
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_front(uT0, n), 5, 205)
+    print(json.dumps({"case": "front(~half gradients)", "ms": per * 1e3}),
+          flush=True)
+
+    # ---- kernel only, prebuilt inputs
+    pT0, strips0 = jax.jit(front)(uT0)
+    B_, bsz = uT0.shape[0], bs
+    K, Bp = binary_advance.pick_chunk(B_, bsz)
+    pad = Bp - B_
+    padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+                      if pad else a)
+    xc = np.asarray(sd.geometry[0])
+    spacing = np.asarray(sd.geometry[2])
+    x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+    y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+    geo = np.stack([x00, y00, spacing], axis=-1).reshape(B_, 1, 3)
+    geo = np.pad(geo, [(0, pad), (0, 0), (0, 0)], constant_values=1.0) \
+        if pad else geo
+    geoP = jnp.asarray(geo, jnp.float32)
+    spP = jnp.asarray(np.pad(spacing, (0, pad), constant_values=1.0),
+                      jnp.float32).reshape(Bp, 1, 1)
+    bmask = jnp.asarray(np.pad(np.ones(B_), (0, pad)),
+                        jnp.float32).reshape(Bp, 1, 1)
+    initT = padB(jnp.transpose(jnp.asarray(sd.initial_conserved,
+                                           jnp.float32), (0, 3, 1, 2)))
+    # strips0 built above has only x-guard gradients; cost shape matches
+    strips_p = padB(strips0)
+    cfg_tuple = (scfg.softening_radius, scfg.sink_radius, scfg.sink_rate,
+                 scfg.mach_number, scfg.axisymmetric_cs2,
+                 scfg.conserve_linear_p, scfg.density_floor,
+                 scfg.gst_suppr_radius ** 2)
+    cfg_flux = (scfg.softening_radius, scfg.mach_number,
+                scfg.axisymmetric_cs2, scfg.conserve_linear_p, scfg.alpha,
+                scfg.alpha_cutoff_radius, scfg.nu, scfg.domain_radius,
+                scfg.riemann)
+    buffer_cfg = (scfg.buffer_damping_rate, scfg.domain_radius)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_kernel(uT, n: int):
+        def body(u, _):
+            u1, fxlo, fxhi, fylo, fyhi, tot = \
+                binary_advance.fused_advance_core(
+                    padB(u), padB(pT0), strips_p, geoP, initT, spP, bmask,
+                    dt, bodies, th, K, cfg_tuple, cfg_flux, buffer_cfg)
+            return u1[:B_], None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_kernel(uT0, n), 5, 205)
+    print(json.dumps({"case": "kernel(static strips)", "ms": per * 1e3}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

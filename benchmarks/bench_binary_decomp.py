@@ -19,17 +19,26 @@ import numpy as np
 
 
 def marginal(f, n1, n2, reps=3):
-    np.asarray(jax.tree.leaves(f(n1))[0])
-    np.asarray(jax.tree.leaves(f(n2))[0])
+    # scalar-sum fence (bench.py rationale: full-state tunnel readbacks
+    # carry ~0.3 s of jitter that swamps ms-scale marginals)
+    def g(n):
+        return np.asarray(jnp.sum(jax.tree.leaves(f(n))[0]))
+
+    g(n1)
+    g(n2)
 
     def once(n):
         t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(f(n))[0])
+        g(n)
         return time.perf_counter() - t0
 
-    t1 = min(once(n1) for _ in range(reps))
-    t2 = min(once(n2) for _ in range(reps))
-    return (t2 - t1) / (n2 - n1)
+    rates = []
+    for _ in range(reps):
+        t1 = min(once(n1) for _ in range(2))
+        t2 = min(once(n2) for _ in range(2))
+        rates.append((t2 - t1) / (n2 - n1))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def main():

@@ -525,23 +525,31 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     fmask = {f: jnp.asarray(nt.case[:, f] == 2, dtype)[:, None, None]
              for f in range(4)}
 
-    def advance_soa(uT, bodies, dt, plm_theta):
-        """Component-first advance [B, C, bs, bs] -> [B, C, bs, bs]: the
-        whole hot path stays SoA so no minor-axis relayout transposes sit
-        at the kernel boundary (measured ~1 ms each at flagship sizes)."""
+    def recover_soa(uT):
+        """Component-first primitive recovery [B, C, bs, bs]; exposed so
+        the fast step can compute it ONCE and share it between the CFL
+        reduce and the advance (identical values either way)."""
         uT = uT.astype(dtype)
         if cfg.conserve_linear_p:
             sig = uT[:, :1]
-            pT = jnp.concatenate([sig, uT[:, 1:] / sig], axis=1)
-        else:
-            sig = uT[:, :1]
-            sr = uT[:, 1] / uT[:, 0]
-            lz = uT[:, 2] / uT[:, 0]
-            x0, x1 = xcT_j[:, 0], xcT_j[:, 1]
-            r2 = x0 * x0 + x1 * x1
-            pT = jnp.concatenate(
-                [sig, ((sr * x0 - lz * x1) / r2)[:, None],
-                 ((sr * x1 + lz * x0) / r2)[:, None]], axis=1)
+            return jnp.concatenate([sig, uT[:, 1:] / sig], axis=1)
+        sig = uT[:, :1]
+        sr = uT[:, 1] / uT[:, 0]
+        lz = uT[:, 2] / uT[:, 0]
+        x0, x1 = xcT_j[:, 0], xcT_j[:, 1]
+        r2 = x0 * x0 + x1 * x1
+        return jnp.concatenate(
+            [sig, ((sr * x0 - lz * x1) / r2)[:, None],
+             ((sr * x1 + lz * x0) / r2)[:, None]], axis=1)
+
+    def advance_soa(uT, bodies, dt, plm_theta, pT=None):
+        """Component-first advance [B, C, bs, bs] -> [B, C, bs, bs]: the
+        whole hot path stays SoA so no minor-axis relayout transposes sit
+        at the kernel boundary (measured ~1 ms each at flagship sizes).
+        pT optionally supplies the already-recovered primitives."""
+        uT = uT.astype(dtype)
+        if pT is None:
+            pT = recover_soa(uT)
 
         pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 0)
         pylo, pyhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 1)
@@ -554,6 +562,10 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                      else jnp.zeros_like(jnp.asarray(plm_theta)))
         sp3 = sp_j[:, None, None]
 
+        # NOTE (round 3): batching these 16 small plm_gradient calls into 4
+        # stacked [B, C, 4, bs] calls was measured 60% SLOWER end-to-end
+        # (2.1 vs 1.3 ms/advance) — XLA lowers the slice-stacks worse than
+        # the unrolled per-row fusions. Keep the per-row form.
         def gx_at_rows(rows):
             """x-slopes at the given rows, [B, C, len(rows), bs]."""
             outs = []
@@ -670,6 +682,7 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
 
     advance.traced = advance_impl
     advance.traced_soa = advance_soa
+    advance.recover_soa = recover_soa
     return advance
 
 

@@ -94,11 +94,17 @@ def make_fast_step(sd, bookkeeping=True, retry=True):
     rk_order = sd.rk_order
     fixed_dt = sd.fixed_dt
 
-    def stage(s, dt, theta):
+    def stage(s, dt, theta, pT0=None):
         """One advance + orbital-element bookkeeping (the traced analog of
-        subprograms/binary.py::advance)."""
+        subprograms/binary.py::advance). pT0 optionally carries the
+        already-recovered primitives of s["conserved"] (shared with the
+        CFL reduce)."""
         bodies = tbj.compute_two_body_state(s["oe"], s["time"])
-        u1, t, invalid = adv(s["conserved"], bodies, dt, theta)
+        if soa and pT0 is not None:
+            u1, t, invalid = adv(s["conserved"], bodies, dt, theta,
+                                 pT=pT0)
+        else:
+            u1, t, invalid = adv(s["conserved"], bodies, dt, theta)
 
         dM = t["mass_accreted_on"]
         dpx = t["momentum_x_accreted_on"]
@@ -148,10 +154,10 @@ def make_fast_step(sd, bookkeeping=True, retry=True):
         }
         return s1, invalid
 
-    def do_step(s, dt, theta):
+    def do_step(s, dt, theta, pT0=None):
         """RK1/RK2 composition (subprog_binary.cpp:258-283; the RK2 average
         is Solution.scaled_plus with weights 1/2, 1/2)."""
-        s1, i1 = stage(s, dt, theta)
+        s1, i1 = stage(s, dt, theta, pT0)
         if rk_order == 1:
             return s1, i1
         s2, i2 = stage(s1, dt, theta)
@@ -163,13 +169,20 @@ def make_fast_step(sd, bookkeeping=True, retry=True):
 
         return jax.tree.map(avg, s, s2), jnp.logical_or(i1, i2)
 
-    def maximum_timestep(uT, bodies):
+    recover = getattr(sd.advance, "recover_soa", None)
+
+    def maximum_timestep(uT, bodies, pT0=None):
         """Global min over blocks of spacing / max wavespeed
-        (subprog_binary_scheme.cpp:1107-1126), on the SoA state."""
-        sig = uT[:, 0]
-        if conserve_p:
+        (subprog_binary_scheme.cpp:1107-1126), on the SoA state. When the
+        recovered primitives are supplied the velocity divides are shared
+        with the advance (identical formulas, identical bits)."""
+        if pT0 is not None:
+            vx, vy = pT0[:, 1], pT0[:, 2]
+        elif conserve_p:
+            sig = uT[:, 0]
             vx, vy = uT[:, 1] / sig, uT[:, 2] / sig
         else:
+            sig = uT[:, 0]
             sr, lz = uT[:, 1] / sig, uT[:, 2] / sig
             x0, x1 = xcT[:, 0], xcT[:, 1]
             r2 = x0 * x0 + x1 * x1
@@ -193,14 +206,15 @@ def make_fast_step(sd, bookkeeping=True, retry=True):
         return jnp.min(spacing / jnp.max(a, axis=(1, 2)))
 
     def step_impl(s):
+        pT0 = recover(s["conserved"]) if (soa and recover) else None
         if fixed_dt:
             dt = jnp.asarray(rec_dt, s["time"].dtype)
         else:
             bodies = tbj.compute_two_body_state(s["oe"], s["time"])
-            dt = cfl * maximum_timestep(s["conserved"], bodies)
+            dt = cfl * maximum_timestep(s["conserved"], bodies, pT0)
 
         theta_t = jnp.asarray(theta0, dt.dtype)
-        s1, inv = do_step(s, dt, theta_t)
+        s1, inv = do_step(s, dt, theta_t, pT0)
 
         if retry:
             # safe-mode retry in-graph: recompute the whole step at dt/10
