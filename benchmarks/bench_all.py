@@ -135,8 +135,9 @@ def bench_cloud(repeat):
     def f(n: int):
         def body(i, carry):
             us, p, t = carry
+            # reference defaults: PLM (reconstruct_method=2), RK2
             u1, p1 = cloud._advance_rk_carry_soa(
-                us, p, t, rv, qv, jet_static, dt, theta, 1, tf, 2)
+                us, p, t, rv, qv, jet_static, dt, theta, 2, tf, 2)
             return u1, p1, t + dt
         us, _, _ = jax.lax.fori_loop(0, n, body, (us0, p0, state.time))
         return us

@@ -118,8 +118,10 @@ def main():
     def scan_front(uT, n: int):
         def body(u, _):
             pT, strips = front(u)
-            # feed something state-dependent back so the scan can't elide
-            return u + 0.0 * pT, strips[0, 0, 0, 0]
+            # fold FULL sums into the carry so DCE cannot elide any of the
+            # strip construction (a single indexed scalar let XLA drop
+            # nearly everything — measured 0.02 ms)
+            return u + 1e-30 * (jnp.sum(strips) + jnp.sum(pT)), None
         u2, _ = jax.lax.scan(body, uT, length=n)
         return u2
 
@@ -176,5 +178,202 @@ def main():
           flush=True)
 
 
+
+
+def main_nofix():
+    """whole advance with dynamic strips but NO coarse-fine fixup/invalid:
+    isolates the post-kernel jnp edits."""
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+    nz = uT0.shape[0] * uT0.shape[2] * uT0.shape[3]
+
+    import mara3_tpu.schemes.binary_scheme as BS
+    import mara3_tpu.mesh.block_layout as BL
+
+    # monkeypatch-free: rebuild the advance with the fixup skipped by
+    # calling advance_soa's pieces — easiest: patch the fixup to identity
+    orig = BL.guard_strips_from_edges
+    adv = sd.advance.traced_soa
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_whole(uT, n: int):
+        def body(u, _):
+            u1, t, inv = adv(u, bodies, dt, th)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    # no-fixup variant: temporarily zero the fine masks so XLA folds the
+    # edits away? masks are traced consts -> where(0, ...) still executes.
+    # Instead rebuild an advance with a neighbor table whose case never
+    # equals 2 on the FIXUP masks only: hack via object copy
+    import numpy as _np
+    nt2 = BL.NeighborTable(
+        case=_np.where(sd.nt.case == 2, 0, sd.nt.case),
+        same_id=sd.nt.same_id, coarse_id=sd.nt.coarse_id,
+        coarse_half=sd.nt.coarse_half, fine_id=sd.nt.fine_id)
+    # note: this also changes guard strips (case-2 faces become 'same'),
+    # so this variant is NOT physical — timing-only, same op shapes except
+    # the four edge edits now multiply by a zero mask that XLA can fold
+    gg2 = BL.build_guard_gather(nt2, sd.cfg_scheme.block_size)
+    adv2 = BS._make_advance_chunked(
+        sd.cfg_scheme, nt2, sd.geometry, sd.initial_conserved,
+        sd.buffer_rate, gg2).traced_soa
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_nofix(uT, n: int):
+        def body(u, _):
+            u1, t, inv = adv2(u, bodies, dt, th)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_nofix(uT0, n), 5, 205)
+    print(json.dumps({"case": "whole_nofix(timing-only)",
+                      "ms": per * 1e3, "zps": nz / per}), flush=True)
+
+
+
+
+def main_chunks():
+    """Kernel-only rate vs chunk size K (grid-step latency attribution)."""
+    from mara3_tpu.kernels import binary_advance
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+    scfg = sd.cfg_scheme
+    import numpy as _np
+    from mara3_tpu.mesh import block_layout as BL
+
+    # reuse the real front to build inputs once
+    adv = sd.advance
+    pT0 = jax.jit(adv.recover_soa)(uT0)
+    B_, bs = uT0.shape[0], scfg.block_size
+    xc = _np.asarray(sd.geometry[0])
+    spacing = _np.asarray(sd.geometry[2])
+    cfg_tuple = (scfg.softening_radius, scfg.sink_radius, scfg.sink_rate,
+                 scfg.mach_number, scfg.axisymmetric_cs2,
+                 scfg.conserve_linear_p, scfg.density_floor,
+                 scfg.gst_suppr_radius ** 2)
+    cfg_flux = (scfg.softening_radius, scfg.mach_number,
+                scfg.axisymmetric_cs2, scfg.conserve_linear_p, scfg.alpha,
+                scfg.alpha_cutoff_radius, scfg.nu, scfg.domain_radius,
+                scfg.riemann)
+    buffer_cfg = (scfg.buffer_damping_rate, scfg.domain_radius)
+    strips0 = jnp.zeros((B_, 4, 3 * 3, bs), jnp.float32)
+
+    for K in (4, 8, 17, 34):
+        if B_ % K:
+            continue
+        x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+        y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+        geo = jnp.asarray(_np.stack([x00, y00, spacing],
+                                    axis=-1).reshape(B_, 1, 3), jnp.float32)
+        spP = jnp.asarray(spacing, jnp.float32).reshape(B_, 1, 1)
+        bmask = jnp.ones((B_, 1, 1), jnp.float32)
+        initT = jnp.transpose(jnp.asarray(sd.initial_conserved,
+                                          jnp.float32), (0, 3, 1, 2))
+
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_kernel(uT, n: int, K=K):
+            def body(u, _):
+                u1, *_ = binary_advance.fused_advance_core(
+                    u, pT0, strips0, geo, initT, spP, bmask,
+                    dt, bodies, th, K, cfg_tuple, cfg_flux, buffer_cfg)
+                return u1, None
+            u2, _ = jax.lax.scan(body, uT, length=n)
+            return u2
+
+        try:
+            per = marginal(lambda n: scan_kernel(uT0, n), 5, 205)
+            print(json.dumps({"K": K, "ms": per * 1e3}), flush=True)
+        except Exception as e:
+            print(json.dumps({"K": K, "error": str(e)[:120]}), flush=True)
+
+
+def main_front2():
+    """Exact front (everything before the pallas call in advance_soa) and
+    the chained front+kernel, to pin down the residual."""
+    from mara3_tpu.kernels import binary_advance
+    from mara3_tpu.mesh import block_layout
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+    import numpy as _np
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+
+    # pull the exact front out of advance_soa by tracing it up to the
+    # kernel call: monkeypatch fused_advance_core to capture its inputs
+    import mara3_tpu.schemes.binary_scheme as BS
+    captured = {}
+    real_core = binary_advance.fused_advance_core
+
+    def fake_core(u0T, pT, strips, *a, **k):
+        captured["args"] = (u0T, pT, strips) + a
+        # return consistent dummies
+        Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
+        z = jnp.zeros
+        return (u0T, z((Bp, C, bs)), z((Bp, C, bs)), z((Bp, C, bs)),
+                z((Bp, C, bs)), z((16, 128)))
+
+    adv = sd.advance.traced_soa
+
+    binary_advance.fused_advance_core = fake_core
+    try:
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_front_exact(uT, n: int):
+            def body(u, _):
+                u1, t, inv = adv(u, bodies, dt, th)
+                # u1 here = front output passed through the fake kernel +
+                # fixup; forces the entire front + fixup, skips the kernel
+                return u1, None
+            u2, _ = jax.lax.scan(body, uT, length=n)
+            return u2
+
+        per = marginal(lambda n: scan_front_exact(uT0, n), 5, 205)
+        print(json.dumps({"case": "front+fixup (fake kernel)",
+                          "ms": per * 1e3}), flush=True)
+    finally:
+        binary_advance.fused_advance_core = real_core
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "nofix":
+        main_nofix()
+    elif len(sys.argv) > 1 and sys.argv[1] == "chunks":
+        main_chunks()
+    elif len(sys.argv) > 1 and sys.argv[1] == "front2":
+        main_front2()
+    else:
+        main()

@@ -434,7 +434,9 @@ def fused_advance_core(u0T, pT, strips, blockgeo,
         ),
         scratch_shapes=[pltpu.VMEM((K, 2 * C, bs, bs), dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # larger chunks (K > 4) exceed the 16 MB default scoped budget
+            vmem_limit_bytes=100 * 1024 * 1024),
         # u0 is consumed by the update only; writing u1 over its buffer
         # saves one full-state copy per call
         input_output_aliases={3: 0},
