@@ -520,8 +520,8 @@ def _stage_window(Pw, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
     Fr = _hlle_t(tuple(l for l, _ in LRr), tuple(r for _, r in LRr), 0)
     # F index j (faces (j+1, j+2)); update rows w = 2..TX+5: low face
     # F[w-2] area darw[w], high face F[w-1] area darw[w+1]
-    lr = tuple(-(f[1:TX + 5] * darw[3:TX + 7] - f[0:TX + 4] * darw[2:TX + 6])
-               for f in Fr)
+    lr = tuple(-(f[1:TX + 5] * darw[3:TX + 7]
+                 - f[0:TX + 4] * darw[2:TX + 6]) for f in Fr)
 
     # ---- polar axis on rows 2..TX+5
     P = tuple(c[2:TX + 6] for c in Pw)
@@ -591,7 +591,11 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
     g0 = i * TX - 4
     rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 8, NQ), 0) + g0
     interior = jnp.logical_and(rw >= 0, rw < NR)
-    gzero_rows = jnp.logical_or(rw[1:TX + 7] == -1, rw[1:TX + 7] == NR)
+    # fresh iota at the target shape — slicing the lane-replicated rw
+    # (rw[1:TX+7]) crashes Mosaic's layout pass at NQ > 128
+    # (extract_strided_slice limit NQ/128 vs lane-tile dim 1; measured r3)
+    rw6 = jax.lax.broadcasted_iota(jnp.int32, (TX + 6, NQ), 0) + (g0 + 1)
+    gzero_rows = jnp.logical_or(rw6 == -1, rw6 == NR)
 
     dvw = dvw_s[...]
     darw = dar_s[...]
@@ -622,17 +626,20 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
 
     U1 = _stage_window(Pw1, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
                        gzero_rows, dt, theta, method, TX, NQ)
-    # embed u1 into a full window (halo rows 0,1 and TX+6,TX+7 are dummies
-    # that start converged in stage 2's Newton)
+    # embed u1 into a full window. The 4 halo rows (0,1 and TX+6,TX+7)
+    # stay UNWRITTEN: stage 2's validity mask freezes them in the Newton
+    # loop and selects constants before use, and storing a splat constant
+    # into a ref slice crashes Mosaic's vector layout pass at NQ > 128
+    # (extract_strided_slice limits NQ/128 vs dim 1 on the replicated
+    # value — measured, r3).
     for k in range(5):
-        u1w_s[k, 0:2] = jnp.ones((2, NQ), U1[0].dtype)
         u1w_s[k, 2:TX + 6] = U1[k]
-        u1w_s[k, TX + 6:TX + 8] = jnp.ones((2, NQ), U1[0].dtype)
 
     # ---- stage 2: valid on rows 2..TX+5; warm-started from stage 1's p
     valid2 = jnp.logical_and(interior,
                              jnp.logical_and(rw >= g0 + 2, rw <= g0 + TX + 5))
     u1w = tuple(u1w_s[k] for k in range(5))
+    # the where() also sanitizes the unwritten halo rows of u1w_s
     Uw2 = tuple(jnp.where(valid2, u1w[k] / dvw, 1.0) for k in range(5))
     # seed from stage 1's FLOORED pressure — what the two-launch version's
     # carry hands the second stage (fused_stage pout)
