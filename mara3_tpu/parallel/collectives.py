@@ -15,8 +15,11 @@ ICI/DCN, so the API is a set of functions usable *inside* ``shard_map``
   all_to_all                  all_to_all
   barrier                     psum of a unit scalar (or comm.barrier on
                               the host side)
-  probe/iprobe                n/a — messages cannot arrive unexpectedly in
-                              a compiled SPMD program; shapes are static
+  probe/iprobe                not in-graph (messages cannot arrive
+                              unexpectedly in a compiled SPMD program);
+                              the dynamic host-messaging surface lives in
+                              parallel/messages.py (tagged Mailbox with
+                              Status/probe/iprobe + dynamic-size recv)
 
 Reductions (the tree ``.sum()`` / global CFL of the reference) are
 jax.lax.psum/pmax/pmin directly.
