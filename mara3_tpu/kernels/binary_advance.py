@@ -225,6 +225,22 @@ def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
     Gex = jnp.concatenate([x_as(S[:, 0, C:]), G, x_as(S[:, 1, C:])], axis=2)
     Gey = jnp.concatenate([y_as(S[:, 2, C:]), G, y_as(S[:, 3, C:])], axis=3)
 
+    _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
+                 init_ref, sp, mask, u1_ref, fxlo_ref, fxhi_ref, fylo_ref,
+                 fyhi_ref, totals_ref, cfg_tuple, cfg_flux, buffer_cfg)
+
+
+def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
+                 init_ref, sp, mask, u1_ref, fxlo_ref, fxhi_ref, fylo_ref,
+                 fyhi_ref, totals_ref, cfg_tuple, cfg_flux, buffer_cfg):
+    """Everything after the guard-extended assembly: positions, fluxes,
+    sources, conservative update, accounting totals. Shared by the
+    strips-input kernel (_kernel) and the in-kernel-guard kernel
+    (_kernel2)."""
+    (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
+     floor, gst2) = cfg_tuple
+    buffer_damping_rate, buffer_radius = buffer_cfg
+
     # positions from 3 per-block scalars + iota (the precomputed xc/xf/yf
     # arrays cost 6 floats/cell of HBM traffic and 3 DMA streams/step)
     bs = p.shape[2]
@@ -443,5 +459,316 @@ def fused_advance_core(u0T, pT, strips, blockgeo,
         interpret=interpret,
     )(dt_arr, bodies_arr, theta_arr, u0T, pT, strips, blockgeo,
       initT, spacing, bmask)
+    u1T, fxlo, fxhi, fylo, fyhi, totals_steps = out
+    return u1T, fxlo, fxhi, fylo, fyhi, jnp.sum(totals_steps, axis=0)
+
+
+# -----------------------------------------------------------------------------
+# v2 (round 3): the gradient guard strips are built IN-KERNEL from compact
+# edge tensors + scalar-prefetched neighbor tables, removing the 16
+# edge-slope jnp calls + case-gather einsums + strip packing from the jnp
+# front (measured ~0.5 ms of the 1.38 ms step at d6b96). The *primitive*
+# guard strips stay in jnp (guard_strips_soa's whole-row gathers are the
+# cheap part and their values are also needed here for the stencil ends).
+#
+# Per neighbor block nb, the slopes at its edge rows/cols are recomputed
+# from: Ex/Ey [Bp, C, 6, bs] (rows/cols {0, 1, 2, bs-3, bs-2, bs-1} of
+# every block), the full guard tensors px*/py* [Bp, C, bs], and corner
+# scalars cqx/cqy [Bp, C, 4, 2] (the transverse guard values at the four
+# edge rows/cols). Formulas match schemes/binary_scheme.advance_soa's
+# gx_at_rows/gy_at_rows/gx_at_cols/gy_at_cols + guard_strips_from_edges
+# term for term (the equivalence test pins bit-parity in interpret mode).
+# -----------------------------------------------------------------------------
+
+def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
+             cqx_ref, cqy_ref,
+             u0_ref, p_ref, geo_ref, init_ref, sp_ref, mask_ref,
+             pxlo_ref, pxhi_ref, pylo_ref, pyhi_ref,
+             ex_ref, ey_ref, pxloF_ref, pxhiF_ref, pyloF_ref, pyhiF_ref,
+             mh_ref, pf_ref,
+             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
+             g_scratch, sg_ref, *, K, cfg_tuple, cfg_flux, buffer_cfg):
+    j = pl.program_id(0)
+    dt = dt_ref[0, 0]
+    theta = theta_ref[0, 0]
+    u0 = u0_ref[...]
+    p = p_ref[...]               # [K, C, bs, bs]
+    C = p.shape[1]
+    bs = p.shape[2]
+    sp = sp_ref[...][..., None]
+    mask = mask_ref[...][..., None]
+
+    def plm(yl, y0, yr):
+        a = (y0 - yl) * theta
+        b = (yr - yl) * 0.5
+        c = (yr - y0) * theta
+        sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
+        sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
+        sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
+        mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+        return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+
+    # ---- in-kernel gradient guard strips -------------------------------
+    # E slot s <-> row/col r: (0,1,2,3,4,5) <-> (0, 1, 2, bs-3, bs-2, bs-1)
+    # cq slot t <-> row/col: (0,1,2,3) <-> (0, 1, bs-2, bs-1)
+    def normal_slope(E_nb_c, glo, ghi, s):
+        """Slope along the strip axis at E slot s (s in {0, 1, 4, 5});
+        all values [1, bs]."""
+        if s == 0:
+            yl, y0, yr = glo, E_nb_c[0:1], E_nb_c[1:2]
+        elif s == 1:
+            yl, y0, yr = E_nb_c[0:1], E_nb_c[1:2], E_nb_c[2:3]
+        elif s == 4:
+            yl, y0, yr = E_nb_c[3:4], E_nb_c[4:5], E_nb_c[5:6]
+        else:
+            yl, y0, yr = E_nb_c[4:5], E_nb_c[5:6], ghi
+        return plm(yl, y0, yr)
+
+    def transverse_slope(row, cq_lo, cq_hi):
+        """Slope along the lane axis of one edge row, ends substituted
+        with the block's transverse guard values (scalars)."""
+        rr = pltpu.roll(row, 1, 1)
+        rl = pltpu.roll(row, bs - 1, 1)
+        left = jnp.where(lane1 == 0, cq_lo, rr)
+        right = jnp.where(lane1 == bs - 1, cq_hi, rl)
+        return plm(left, row, right)
+
+    def nb_slopes(nb, axis, s):
+        """(normal, transverse) slope rows of block nb at E slot s, each a
+        list of C [1, bs] values, divided by nb's spacing (matching
+        gx_at_rows etc., which slope each block on its own grid)."""
+        t = {0: 0, 1: 1, 4: 2, 5: 3}[s]
+        inv_sp = 1.0 / spall_ref[nb]
+        E_nb = (ex_ref if axis == 0 else ey_ref)[nb]        # [C, 6, bs]
+        gloF = (pxloF_ref if axis == 0 else pyloF_ref)[nb]  # [C, bs]
+        ghiF = (pxhiF_ref if axis == 0 else pyhiF_ref)[nb]
+        # cq tensors travel SMEM-flattened [Bp, C*8] (c*8 + t*2 + side):
+        # a trailing dim of 2 is padded to the full scalar-tile width and
+        # two [Bp, C, 4, 2] operands alone exceed the 1 MB SMEM budget
+        # (measured 816K each)
+        cq = (cqx_ref if axis == 0 else cqy_ref)
+        normals, transverses = [], []
+        for c in range(C):
+            normals.append(
+                normal_slope(E_nb[c], gloF[c:c + 1], ghiF[c:c + 1], s)
+                * inv_sp)
+            transverses.append(
+                transverse_slope(E_nb[c][s:s + 1],
+                                 cq[nb, c * 8 + t * 2],
+                                 cq[nb, c * 8 + t * 2 + 1])
+                * inv_sp)
+        return normals, transverses
+
+    def write_face(k, f, axis, rows):
+        """rows = (gx_rows, gy_rows): C [1, bs] values each, in ABSOLUTE
+        channel order (gx first, matching E_G packing)."""
+        gx_rows, gy_rows = rows
+        for c in range(C):
+            sg_ref[k, f, c] = gx_rows[c].reshape((bs,))
+            sg_ref[k, f, C + c] = gy_rows[c].reshape((bs,))
+
+    def absolute(axis, normals, transverses):
+        # x-strips: normal slope is gx; y-strips: normal slope is gy
+        return ((normals, transverses) if axis == 0
+                else (transverses, normals))
+
+    def dot_mh(rows, h):
+        M = mh_ref[h]
+        return [jnp.dot(r, M, preferred_element_type=r.dtype)
+                for r in rows]
+
+    def strip_body(k, carry):
+        # fori_loop (not Python unroll) over the K blocks: the unrolled
+        # form allocates scoped SMEM per dynamic-slice site and blows the
+        # 1 MB budget at K=4 (measured: 1.86M requested)
+        b = j * K + k
+        for axis in (0, 1):
+            for side in (0, 1):
+                f = 2 * axis + side
+                case = tab_ref[b, f * 6 + 0]
+                # neighbor's facing edge: its high rows for my low side
+                e_edge = 5 if side == 0 else 0
+                e_inner = 4 if side == 0 else 1
+
+                @pl.when(case == 0)
+                def _(k=k, f=f, axis=axis, e_edge=e_edge):
+                    nb = tab_ref[b, f * 6 + 1]
+                    n_, t_ = nb_slopes(nb, axis, e_edge)
+                    write_face(k, f, axis, absolute(axis, n_, t_))
+
+                @pl.when(case == 1)
+                def _(k=k, f=f, axis=axis, e_edge=e_edge):
+                    nb = tab_ref[b, f * 6 + 2]
+                    h = tab_ref[b, f * 6 + 3]
+                    n_, t_ = nb_slopes(nb, axis, e_edge)
+                    gx_rows, gy_rows = absolute(axis, n_, t_)
+                    write_face(k, f, axis,
+                               (dot_mh(gx_rows, h), dot_mh(gy_rows, h)))
+
+                @pl.when(case == 2)
+                def _(k=k, f=f, axis=axis, e_edge=e_edge,
+                      e_inner=e_inner):
+                    nb0 = tab_ref[b, f * 6 + 4]
+                    nb1 = tab_ref[b, f * 6 + 5]
+                    out = [[], []]   # absolute gx, gy channel rows
+                    for slot, nb in ((0, nb0), (1, nb1)):
+                        ni, ti = nb_slopes(nb, axis, e_inner)
+                        ne, te = nb_slopes(nb, axis, e_edge)
+                        gxs, gys = absolute(
+                            axis,
+                            [0.5 * (a + b_) for a, b_ in zip(ni, ne)],
+                            [0.5 * (a + b_) for a, b_ in zip(ti, te)])
+                        P = pf_ref[slot]
+                        part = [
+                            [jnp.dot(r, P, preferred_element_type=r.dtype)
+                             for r in rows] for rows in (gxs, gys)]
+                        if slot == 0:
+                            out = part
+                        else:
+                            out = [[a + b_ for a, b_ in zip(o, p_)]
+                                   for o, p_ in zip(out, part)]
+                    write_face(k, f, axis, (out[0], out[1]))
+        return carry
+
+    jax.lax.fori_loop(0, K, strip_body, 0)
+
+    # ---- guard-extended assembly (prims from the jnp gathers, gradients
+    # from the strips just built) ----------------------------------------
+    x_as = lambda a: a[:, :, None, :]
+    y_as = lambda a: a[..., None]
+    pex = jnp.concatenate([x_as(pxlo_ref[...]), p, x_as(pxhi_ref[...])],
+                          axis=2)
+    pey = jnp.concatenate([y_as(pylo_ref[...]), p, y_as(pyhi_ref[...])],
+                          axis=3)
+
+    gx = plm(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:]) / sp
+    gy = plm(pey[:, :, :, :-2], pey[:, :, :, 1:-1], pey[:, :, :, 2:]) / sp
+    # round-trip through VMEM scratch: see _kernel
+    g_scratch[...] = jnp.concatenate([gx, gy], axis=1)
+    G = g_scratch[...]
+    S = sg_ref[...]              # [K, 4, 2C, bs]
+    Gex = jnp.concatenate([x_as(S[:, 0]), G, x_as(S[:, 1])], axis=2)
+    Gey = jnp.concatenate([y_as(S[:, 2]), G, y_as(S[:, 3])], axis=3)
+
+    _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
+                 init_ref, sp, mask, u1_ref, fxlo_ref, fxhi_ref, fylo_ref,
+                 fyhi_ref, totals_ref, cfg_tuple, cfg_flux, buffer_cfg)
+
+
+def build_kernel2_tables(nt, spacing, bs, dtype):
+    """Static per-run arrays for fused_advance_core2: the packed neighbor
+    table [B, 4, 6] (case, same, coarse, coarse_half, fine0, fine1), the
+    per-block spacing vector, and the prolongation/restriction one-hot
+    matrices (block_layout.build_soa_guard)."""
+    import numpy as np
+    from mara3_tpu.mesh import block_layout
+    tab = np.stack([nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
+                    nt.fine_id[:, :, 0], nt.fine_id[:, :, 1]],
+                   axis=2).astype(np.int32)
+    Mh, Pf = block_layout.build_soa_guard(nt, bs, dtype=np.float64)
+    return (jnp.asarray(tab), jnp.asarray(spacing, dtype).reshape(-1),
+            jnp.asarray(Mh, dtype), jnp.asarray(Pf, dtype))
+
+
+def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
+                        blockgeo, initT, spacing, bmask, dt, bodies,
+                        plm_theta, K, cfg_tuple, cfg_flux, buffer_cfg,
+                        interpret=False):
+    """Like fused_advance_core, but the gradient guard strips are built
+    in-kernel. guards = (pxlo, pxhi, pylo, pyhi) [Bp, C, bs];
+    edge_tensors = (Ex, Ey) [Bp, C, 6, bs]; corners = (cqx, cqy)
+    [Bp, C, 4, 2]; tables = (tab [Bp, 4, 6] int32, sp_all [Bp], Mh, Pf)."""
+    Bp, C, bs = u0T.shape[0], u0T.shape[1], u0T.shape[2]
+    dtype = u0T.dtype
+    grid = (Bp // K,)
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    bodies_arr = jnp.asarray(bodies, dtype)
+    theta_arr = jnp.asarray(plm_theta, dtype).reshape(1, 1)
+    pxlo, pxhi, pylo, pyhi = guards
+    Ex, Ey = edge_tensors
+    cqx, cqy = corners
+    tab, sp_all, Mh, Pf = tables
+    # SMEM-staged operands: flatten tiny trailing dims (they pad to the
+    # scalar-tile width; see the note in _kernel2.nb_slopes)
+    tab = tab.reshape(tab.shape[0], 24)
+    cqx = cqx.reshape(cqx.shape[0], C * 8)
+    cqy = cqy.reshape(cqy.shape[0], C * 8)
+
+    def vspec(c, nx, ny):
+        return pl.BlockSpec((K, c, nx, ny), lambda j: (j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def vspec3(nx, ny):
+        return pl.BlockSpec((K, nx, ny), lambda j: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fullspec(a):
+        return pl.BlockSpec(a.shape, lambda j: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_kernel2, K=K, cfg_tuple=cfg_tuple,
+                               cfg_flux=cfg_flux, buffer_cfg=buffer_cfg)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem,                                   # dt (1,1)
+            smem,                                   # bodies (2,5)
+            smem,                                   # plm_theta (1,1)
+            smem,                                   # tab (Bp,4,6) int32
+            smem,                                   # sp_all (Bp,)
+            smem,                                   # cqx (Bp,C,4,2)
+            smem,                                   # cqy
+            vspec(C, bs, bs),                       # u0
+            vspec(C, bs, bs),                       # p
+            vspec3(1, 3),                           # blockgeo
+            vspec(C, bs, bs),                       # init
+            vspec3(1, 1),                           # spacing
+            vspec3(1, 1),                           # mask
+            pl.BlockSpec((K, C, bs), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # pxlo (blocked)
+            pl.BlockSpec((K, C, bs), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # pxhi
+            pl.BlockSpec((K, C, bs), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # pylo
+            pl.BlockSpec((K, C, bs), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),  # pyhi
+            fullspec(Ex),                           # Ex (full, resident)
+            fullspec(Ey),
+            fullspec(pxlo),                         # full guard tensors
+            fullspec(pxhi),
+            fullspec(pylo),
+            fullspec(pyhi),
+            fullspec(Mh),
+            fullspec(Pf),
+        ],
+        out_specs=(
+            vspec(C, bs, bs),
+            vspec3(C, bs), vspec3(C, bs), vspec3(C, bs), vspec3(C, bs),
+            pl.BlockSpec((1, 16, 128), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp, C, bs), dtype),
+            jax.ShapeDtypeStruct((Bp // K, 16, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((K, 2 * C, bs, bs), dtype),
+                        pltpu.VMEM((K, 4, 2 * C, bs), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(dt_arr, bodies_arr, theta_arr, tab, sp_all, cqx, cqy,
+      u0T, pT, blockgeo, initT, spacing, bmask,
+      pxlo, pxhi, pylo, pyhi, Ex, Ey, pxlo, pxhi, pylo, pyhi, Mh, Pf)
     u1T, fxlo, fxhi, fylo, fyhi, totals_steps = out
     return u1T, fxlo, fxhi, fylo, fyhi, jnp.sum(totals_steps, axis=0)

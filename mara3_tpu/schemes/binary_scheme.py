@@ -381,6 +381,10 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     if fused is True:
         return _make_advance_chunked(cfg, nt, geometry, initial_conserved,
                                      buffer_rate, gg)
+    if fused == "jnp_strips":
+        # round-2 variant: edge gradients + case-gathers in the jnp front
+        return _make_advance_chunked(cfg, nt, geometry, initial_conserved,
+                                     buffer_rate, gg, in_kernel_guards=False)
     if fused == "split" and cfg.riemann != "hlle":
         raise NotImplementedError(
             "the round-1 split kernels support hlle only; use the "
@@ -471,11 +475,17 @@ def make_advance(cfg: SchemeConfig, nt: block_layout.NeighborTable,
 
 def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                           geometry, initial_conserved, buffer_rate, gg,
-                          interpret=False):
+                          interpret=False, in_kernel_guards=True):
     """Single-launch advance: jnp front half (primitive recovery, one-gather
-    guard exchange, PLM) feeding kernels/binary_advance.fused_advance_core,
+    guard exchange) feeding kernels/binary_advance.fused_advance_core2,
     plus the jnp coarse-fine edge fixup. Matches the fused=False path to
-    rounding (tests/test_pallas_kernel.py)."""
+    rounding (tests/test_pallas_kernel.py).
+
+    in_kernel_guards=True (default, round 3): the gradient guard strips
+    are built inside the kernel from compact edge tensors + neighbor
+    tables (the 16 edge-slope jnp calls + case-gathers measured ~0.5 ms
+    of the 1.38 ms step at d6b96). False keeps the round-2 jnp
+    edge-gradient front (fused_advance_core)."""
     from mara3_tpu.kernels import binary_advance
 
     xc, dA, spacing, xf, yf = (np.asarray(a) for a in geometry)
@@ -525,6 +535,15 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
     fmask = {f: jnp.asarray(nt.case[:, f] == 2, dtype)[:, None, None]
              for f in range(4)}
 
+    if in_kernel_guards:
+        tab, sp_all, Mh2, Pf2 = binary_advance.build_kernel2_tables(
+            nt, spacing, bs, dtype)
+        if pad:
+            tab = jnp.pad(tab, [(0, pad), (0, 0), (0, 0)])
+            sp_all = jnp.pad(sp_all, (0, pad), constant_values=1.0)
+        k2_tables = (tab, sp_all, Mh2, Pf2)
+        guard_tables = block_layout.GuardAllTables(nt, bs)
+
     def recover_soa(uT):
         """Component-first primitive recovery [B, C, bs, bs]; exposed so
         the fast step can compute it ONCE and share it between the CFL
@@ -551,8 +570,16 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         if pT is None:
             pT = recover_soa(uT)
 
-        pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 0)
-        pylo, pyhi = block_layout.guard_strips_soa(pT, nt, soa_consts, 1)
+        if in_kernel_guards:
+            # one batched gather/einsum pass for all four strips
+            # (bit-matches the per-axis calls; tested in test_mesh)
+            pxlo, pxhi, pylo, pyhi = block_layout.guard_strips_all(
+                pT, soa_consts, guard_tables)
+        else:
+            pxlo, pxhi = block_layout.guard_strips_soa(pT, nt,
+                                                       soa_consts, 0)
+            pylo, pyhi = block_layout.guard_strips_soa(pT, nt,
+                                                       soa_consts, 1)
 
         # Gradients live INSIDE the kernel (kernels/binary_advance.py); the
         # front half computes them only on the edge rows/columns that the
@@ -561,6 +588,33 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         theta_eff = (plm_theta if cfg.reconstruct_method == "plm"
                      else jnp.zeros_like(jnp.asarray(plm_theta)))
         sp3 = sp_j[:, None, None]
+        padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+                          if pad else a)
+
+        if in_kernel_guards:
+            # compact edge tensors feed the in-kernel strip builder; the
+            # neighbors' edge slopes never exist as jnp arrays. Single
+            # fancy-index gathers, not per-row stacks: each jnp op costs
+            # ~5-6 us on this runtime and the packing sits on the step's
+            # critical path.
+            rows6 = jnp.asarray((0, 1, 2, bs - 3, bs - 2, bs - 1))
+            Ex = pT[:, :, rows6]                       # [B, C, 6, bs]
+            Ey = jnp.swapaxes(pT[:, :, :, rows6], 2, 3)
+            rows4 = jnp.asarray((0, 1, bs - 2, bs - 1))
+            cqx = jnp.stack([pylo[:, :, rows4], pyhi[:, :, rows4]],
+                            axis=-1)                   # [B, C, 4, 2]
+            cqy = jnp.stack([pxlo[:, :, rows4], pxhi[:, :, rows4]],
+                            axis=-1)
+            u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
+                binary_advance.fused_advance_core2(
+                    padB(uT), padB(pT),
+                    (padB(pxlo), padB(pxhi), padB(pylo), padB(pyhi)),
+                    (padB(Ex), padB(Ey)), (padB(cqx), padB(cqy)),
+                    k2_tables, geoP, initT, spP, bmask, dt, bodies,
+                    theta_eff, K, cfg_tuple, cfg_flux, buffer_cfg,
+                    interpret=interpret)
+            return _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16,
+                                   dt=dt, bodies=bodies)
 
         # NOTE (round 3): batching these 16 small plm_gradient calls into 4
         # stacked [B, C, 4, bs] calls was measured 60% SLOWER end-to-end
@@ -616,8 +670,6 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
         Gylo, Gyhi = block_layout.guard_strips_from_edges(
             E_G_y, nt, soa_consts, 1)
 
-        padB = lambda a: (jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-                          if pad else a)
         strips = padB(jnp.stack([
             jnp.concatenate([pxlo, Gxlo], axis=1),
             jnp.concatenate([pxhi, Gxhi], axis=1),
@@ -628,7 +680,11 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                 padB(uT), padB(pT), strips, geoP,
                 initT, spP, bmask, dt, bodies, theta_eff, K,
                 cfg_tuple, cfg_flux, buffer_cfg, interpret=interpret)
+        return _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16,
+                               dt=dt, bodies=bodies)
 
+    def _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16, *, dt,
+                        bodies):
         # coarse-fine flux correction as an edge fixup: add
         # (restrict_extrinsic(fine fluxes) - own flux) * dt/dA at faces
         # whose neighbor is finer (correct_fluxes_*, subprog_binary_scheme

@@ -340,3 +340,27 @@ def test_extend_blocks_fast_matches_reference_path():
         fast = block_layout.extend_blocks_fast(U, gg, axis=axis)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    rtol=1e-14, atol=1e-16)
+
+
+def test_guard_strips_all_bitwise_matches_per_axis():
+    """The batched one-pass guard gather (guard_strips_all) must be
+    bit-identical to the four per-axis guard_strips_soa calls on a mesh
+    with all three neighbor cases."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.mesh import block_layout as BL
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 8})
+    sd = B.create_solver_data(cfg)
+    nt, bs = sd.nt, 8
+    assert set(np.unique(nt.case)) == {0, 1, 2}
+    rng = np.random.default_rng(7)
+    pT = jnp.asarray(rng.standard_normal((nt.case.shape[0], 3, bs, bs)))
+    consts = BL.build_soa_guard(nt, bs)
+    ref = (BL.guard_strips_soa(pT, nt, consts, 0)
+           + BL.guard_strips_soa(pT, nt, consts, 1))
+    got = BL.guard_strips_all(pT, consts, BL.GuardAllTables(nt, bs))
+    for g, r in zip(got, ref):
+        assert np.array_equal(np.asarray(g), np.asarray(r))

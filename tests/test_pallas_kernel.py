@@ -174,7 +174,8 @@ def test_v3_temporal_blocking_matches_sequential():
 
 @pytest.mark.parametrize("conserve_p", [True, False])
 @pytest.mark.parametrize("reconstruct", ["plm", "pcm"])
-def test_chunked_advance_matches_jnp(conserve_p, reconstruct):
+@pytest.mark.parametrize("variant", [True, "jnp_strips"])
+def test_chunked_advance_matches_jnp(conserve_p, reconstruct, variant):
     """The single-launch chunked advance (kernels/binary_advance.py +
     the jnp coarse-fine edge fixup) must reproduce the jnp advance —
     state, accounting totals, fault flag — on an AMR mesh with live
@@ -202,7 +203,7 @@ def test_chunked_advance_matches_jnp(conserve_p, reconstruct):
     with pltpu.force_tpu_interpret_mode():
         adv_new = binary_scheme.make_advance(
             sd.cfg_scheme, sd.nt, sd.geometry, sd.initial_conserved,
-            sd.buffer_rate, fused=True)
+            sd.buffer_rate, fused=variant)
         u1f, totalsf, invf = adv_new(sol.conserved, bodies, dt,
                                      sd.plm_theta)
 
