@@ -367,6 +367,147 @@ def main_front2():
         binary_advance.fused_advance_core = real_core
 
 
+
+
+def main_chain():
+    """Decisive serialization attribution (r3):
+      kernel+dep   — static strips with a tiny per-step data dependency on
+                     u (forces launch -> jnp -> launch serialization with
+                     ~zero jnp work): isolates the non-pipelined launch
+                     penalty.
+      front+kernel — real chained front feeding the launch, no fixup.
+      whole        — the shipped advance, same session, for comparison.
+    """
+    from mara3_tpu.kernels import binary_advance
+    from mara3_tpu.mesh import block_layout
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+    from mara3_tpu.mathx.plm import plm_gradient
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+    nz = uT0.shape[0] * uT0.shape[2] * uT0.shape[3]
+    adv = sd.advance.traced_soa
+    scfg = sd.cfg_scheme
+    nt = sd.nt
+    bs = scfg.block_size
+    consts = block_layout.build_soa_guard(nt, bs)
+    recover = sd.advance.recover_soa
+    sp_j = jnp.asarray(sd.geometry[2], jnp.float32)
+    sp3 = sp_j[:, None, None]
+    B_ = uT0.shape[0]
+    K, Bp = binary_advance.pick_chunk(B_, bs)
+    xc = np.asarray(sd.geometry[0])
+    spacing = np.asarray(sd.geometry[2])
+    x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+    y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+    geoP = jnp.asarray(np.stack([x00, y00, spacing], -1).reshape(B_, 1, 3),
+                       jnp.float32)
+    spP = jnp.asarray(spacing, jnp.float32).reshape(B_, 1, 1)
+    bmask = jnp.ones((B_, 1, 1), jnp.float32)
+    initT = jnp.transpose(jnp.asarray(sd.initial_conserved, jnp.float32),
+                          (0, 3, 1, 2))
+    cfg_tuple = (scfg.softening_radius, scfg.sink_radius, scfg.sink_rate,
+                 scfg.mach_number, scfg.axisymmetric_cs2,
+                 scfg.conserve_linear_p, scfg.density_floor,
+                 scfg.gst_suppr_radius ** 2)
+    cfg_flux = (scfg.softening_radius, scfg.mach_number,
+                scfg.axisymmetric_cs2, scfg.conserve_linear_p, scfg.alpha,
+                scfg.alpha_cutoff_radius, scfg.nu, scfg.domain_radius,
+                scfg.riemann)
+    buffer_cfg = (scfg.buffer_damping_rate, scfg.domain_radius)
+
+    def front(uT):
+        pT = recover(uT)
+        pxlo, pxhi = block_layout.guard_strips_soa(pT, nt, consts, 0)
+        pylo, pyhi = block_layout.guard_strips_soa(pT, nt, consts, 1)
+
+        def gx_at_rows(rows):
+            outs = []
+            for r in rows:
+                yl = pxlo if r == 0 else pT[:, :, r - 1]
+                yr = pxhi if r == bs - 1 else pT[:, :, r + 1]
+                outs.append(plm_gradient(yl, pT[:, :, r], yr, th) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        def gy_at_rows(rows):
+            outs = []
+            for r in rows:
+                row = pT[:, :, r]
+                ext = jnp.concatenate([pylo[:, :, r:r + 1], row,
+                                       pyhi[:, :, r:r + 1]], axis=2)
+                outs.append(plm_gradient(ext[:, :, :-2], ext[:, :, 1:-1],
+                                         ext[:, :, 2:], th) / sp3)
+            return jnp.stack(outs, axis=2)
+
+        edge = (0, 1, bs - 2, bs - 1)
+        E_G_x = jnp.concatenate([gx_at_rows(edge), gy_at_rows(edge)], axis=1)
+        Gxlo, Gxhi = block_layout.guard_strips_from_edges(E_G_x, nt,
+                                                          consts, 0)
+        strips = jnp.stack([
+            jnp.concatenate([pxlo, Gxlo], axis=1),
+            jnp.concatenate([pxhi, Gxhi], axis=1),
+            jnp.concatenate([pylo, Gxlo], axis=1),   # stand-in, same cost
+            jnp.concatenate([pyhi, Gxhi], axis=1)], axis=1)
+        return pT, strips
+
+    pT0, strips0 = jax.jit(front)(uT0)
+    pT0, strips0 = jax.block_until_ready((pT0, strips0))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_dep(uT, n: int):
+        def body(u, _):
+            # near-zero jnp work, but strips now DEPEND on u each step
+            eps = 1e-30 * u[0, 0, 0, 0]
+            st = strips0 + eps
+            pp = pT0 + eps
+            u1, *_ = binary_advance.fused_advance_core(
+                u, pp, st, geoP, initT, spP, bmask,
+                dt, bodies, th, K, cfg_tuple, cfg_flux, buffer_cfg)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_dep(uT0, n), 5, 205)
+    print(json.dumps({"case": "kernel+dep", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_front_kernel(uT, n: int):
+        def body(u, _):
+            pT, strips = front(u)
+            u1, *_ = binary_advance.fused_advance_core(
+                u, pT, strips, geoP, initT, spP, bmask,
+                dt, bodies, th, K, cfg_tuple, cfg_flux, buffer_cfg)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_front_kernel(uT0, n), 5, 205)
+    print(json.dumps({"case": "front+kernel", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_whole(uT, n: int):
+        def body(u, _):
+            u1, t, inv = adv(u, bodies, dt, th)
+            return u1, None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_whole(uT0, n), 5, 205)
+    print(json.dumps({"case": "whole", "ms": per * 1e3, "zps": nz / per}),
+          flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "nofix":
@@ -375,5 +516,7 @@ if __name__ == "__main__":
         main_chunks()
     elif len(sys.argv) > 1 and sys.argv[1] == "front2":
         main_front2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "chain":
+        main_chain()
     else:
         main()

@@ -513,61 +513,48 @@ def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
     # ---- in-kernel gradient guard strips -------------------------------
     # E slot s <-> row/col r: (0,1,2,3,4,5) <-> (0, 1, 2, bs-3, bs-2, bs-1)
     # cq slot t <-> row/col: (0,1,2,3) <-> (0, 1, bs-2, bs-1)
-    def normal_slope(E_nb_c, glo, ghi, s):
+    def normal_slope(E_nb, glo, ghi, s):
         """Slope along the strip axis at E slot s (s in {0, 1, 4, 5});
-        all values [1, bs]."""
+        [C, bs] values, all C components in one pass."""
         if s == 0:
-            yl, y0, yr = glo, E_nb_c[0:1], E_nb_c[1:2]
+            yl, y0, yr = glo, E_nb[:, 0], E_nb[:, 1]
         elif s == 1:
-            yl, y0, yr = E_nb_c[0:1], E_nb_c[1:2], E_nb_c[2:3]
+            yl, y0, yr = E_nb[:, 0], E_nb[:, 1], E_nb[:, 2]
         elif s == 4:
-            yl, y0, yr = E_nb_c[3:4], E_nb_c[4:5], E_nb_c[5:6]
+            yl, y0, yr = E_nb[:, 3], E_nb[:, 4], E_nb[:, 5]
         else:
-            yl, y0, yr = E_nb_c[4:5], E_nb_c[5:6], ghi
+            yl, y0, yr = E_nb[:, 4], E_nb[:, 5], ghi
         return plm(yl, y0, yr)
 
-    def transverse_slope(row, cq_lo, cq_hi):
-        """Slope along the lane axis of one edge row, ends substituted
-        with the block's transverse guard values (scalars)."""
+    def transverse_slope(row, cq_t):
+        """Slope along the lane axis of the [C, bs] edge rows, ends
+        substituted with the block's transverse guard values cq_t
+        [C, 2]."""
         rr = pltpu.roll(row, 1, 1)
         rl = pltpu.roll(row, bs - 1, 1)
-        left = jnp.where(lane1 == 0, cq_lo, rr)
-        right = jnp.where(lane1 == bs - 1, cq_hi, rl)
+        left = jnp.where(lane1 == 0, cq_t[:, 0:1], rr)
+        right = jnp.where(lane1 == bs - 1, cq_t[:, 1:2], rl)
         return plm(left, row, right)
 
     def nb_slopes(nb, axis, s):
-        """(normal, transverse) slope rows of block nb at E slot s, each a
-        list of C [1, bs] values, divided by nb's spacing (matching
-        gx_at_rows etc., which slope each block on its own grid)."""
+        """(normal, transverse) [C, bs] slope rows of block nb at E slot
+        s, divided by nb's spacing (matching gx_at_rows etc., which slope
+        each block on its own grid)."""
         t = {0: 0, 1: 1, 4: 2, 5: 3}[s]
         inv_sp = 1.0 / spall_ref[nb]
         E_nb = (ex_ref if axis == 0 else ey_ref)[nb]        # [C, 6, bs]
         gloF = (pxloF_ref if axis == 0 else pyloF_ref)[nb]  # [C, bs]
         ghiF = (pxhiF_ref if axis == 0 else pyhiF_ref)[nb]
-        # cq tensors travel SMEM-flattened [Bp, C*8] (c*8 + t*2 + side):
-        # a trailing dim of 2 is padded to the full scalar-tile width and
-        # two [Bp, C, 4, 2] operands alone exceed the 1 MB SMEM budget
-        # (measured 816K each)
-        cq = (cqx_ref if axis == 0 else cqy_ref)
-        normals, transverses = [], []
-        for c in range(C):
-            normals.append(
-                normal_slope(E_nb[c], gloF[c:c + 1], ghiF[c:c + 1], s)
-                * inv_sp)
-            transverses.append(
-                transverse_slope(E_nb[c][s:s + 1],
-                                 cq[nb, c * 8 + t * 2],
-                                 cq[nb, c * 8 + t * 2 + 1])
-                * inv_sp)
-        return normals, transverses
+        cq_t = (cqx_ref if axis == 0 else cqy_ref)[nb, t]   # [C, 2]
+        return (normal_slope(E_nb, gloF, ghiF, s) * inv_sp,
+                transverse_slope(E_nb[:, s], cq_t) * inv_sp)
 
     def write_face(k, f, axis, rows):
-        """rows = (gx_rows, gy_rows): C [1, bs] values each, in ABSOLUTE
-        channel order (gx first, matching E_G packing)."""
+        """rows = (gx, gy): [C, bs] each, in ABSOLUTE channel order (gx
+        first, matching E_G packing)."""
         gx_rows, gy_rows = rows
-        for c in range(C):
-            sg_ref[k, f, c] = gx_rows[c].reshape((bs,))
-            sg_ref[k, f, C + c] = gy_rows[c].reshape((bs,))
+        sg_ref[k, f, 0:C] = gx_rows
+        sg_ref[k, f, C:2 * C] = gy_rows
 
     def absolute(axis, normals, transverses):
         # x-strips: normal slope is gx; y-strips: normal slope is gy
@@ -575,9 +562,8 @@ def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
                 else (transverses, normals))
 
     def dot_mh(rows, h):
-        M = mh_ref[h]
-        return [jnp.dot(r, M, preferred_element_type=r.dtype)
-                for r in rows]
+        return jnp.dot(rows, mh_ref[h],
+                       preferred_element_type=rows.dtype)
 
     def strip_body(k, carry):
         # fori_loop (not Python unroll) over the K blocks: the unrolled
@@ -612,24 +598,19 @@ def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
                       e_inner=e_inner):
                     nb0 = tab_ref[b, f * 6 + 4]
                     nb1 = tab_ref[b, f * 6 + 5]
-                    out = [[], []]   # absolute gx, gy channel rows
+                    out = None
                     for slot, nb in ((0, nb0), (1, nb1)):
                         ni, ti = nb_slopes(nb, axis, e_inner)
                         ne, te = nb_slopes(nb, axis, e_edge)
-                        gxs, gys = absolute(
-                            axis,
-                            [0.5 * (a + b_) for a, b_ in zip(ni, ne)],
-                            [0.5 * (a + b_) for a, b_ in zip(ti, te)])
+                        gxs, gys = absolute(axis, 0.5 * (ni + ne),
+                                            0.5 * (ti + te))
                         P = pf_ref[slot]
-                        part = [
-                            [jnp.dot(r, P, preferred_element_type=r.dtype)
-                             for r in rows] for rows in (gxs, gys)]
-                        if slot == 0:
-                            out = part
-                        else:
-                            out = [[a + b_ for a, b_ in zip(o, p_)]
-                                   for o, p_ in zip(out, part)]
-                    write_face(k, f, axis, (out[0], out[1]))
+                        part = tuple(
+                            jnp.dot(r, P, preferred_element_type=r.dtype)
+                            for r in (gxs, gys))
+                        out = part if slot == 0 else (out[0] + part[0],
+                                                      out[1] + part[1])
+                    write_face(k, f, axis, out)
         return carry
 
     jax.lax.fori_loop(0, K, strip_body, 0)
@@ -690,11 +671,14 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
     Ex, Ey = edge_tensors
     cqx, cqy = corners
     tab, sp_all, Mh, Pf = tables
-    # SMEM-staged operands: flatten tiny trailing dims (they pad to the
-    # scalar-tile width; see the note in _kernel2.nb_slopes)
+    # SMEM-staged operands need tiny trailing dims flattened (they pad to
+    # the scalar-tile width: an unflattened [Bp, 4, 6] int32 table plus
+    # two [Bp, C, 4, 2] corner tensors measured 1.86M > the 1M SMEM
+    # budget). The corner tensors go to VMEM as [Bp, 4, C, 2] so the
+    # kernel reads per-(nb, slot) [C, 2] vectors.
     tab = tab.reshape(tab.shape[0], 24)
-    cqx = cqx.reshape(cqx.shape[0], C * 8)
-    cqy = cqy.reshape(cqy.shape[0], C * 8)
+    cqx = jnp.transpose(cqx, (0, 2, 1, 3))
+    cqy = jnp.transpose(cqy, (0, 2, 1, 3))
 
     def vspec(c, nx, ny):
         return pl.BlockSpec((K, c, nx, ny), lambda j: (j, 0, 0, 0),
@@ -721,8 +705,8 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
             smem,                                   # plm_theta (1,1)
             smem,                                   # tab (Bp,4,6) int32
             smem,                                   # sp_all (Bp,)
-            smem,                                   # cqx (Bp,C,4,2)
-            smem,                                   # cqy
+            fullspec(cqx),                          # cqx (Bp,4,C,2)
+            fullspec(cqy),
             vspec(C, bs, bs),                       # u0
             vspec(C, bs, bs),                       # p
             vspec3(1, 3),                           # blockgeo
