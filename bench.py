@@ -4,10 +4,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The target
 from BASELINE.json is 1e9 zone-updates/s/chip (the reference's kzps meter,
 subprog_binary.cpp:394-404, never published upstream — see BASELINE.md).
 
-Primary path: the fused Pallas kernel (kernels/iso2d_step.py) — full PLM +
-HLLE Godunov step per kernel pass, measured at ~0.8e10 zones/s on v5e (consistent-protocol). Falls
-back to the pure-jnp scheme if Mosaic compilation is unavailable (e.g. on
-CPU), so the benchmark always reports.
+Primary path: the fused v4 Pallas kernel (kernels/iso2d_step_v4.py) —
+full PLM + HLLE Godunov steps, 4 per launch, over full-width stripes with
+in-register y-periodicity; ~1.05e10 zones/s on v5e (consistent-protocol).
+Falls back to v3 then to the pure-jnp scheme if Mosaic compilation is
+unavailable (e.g. on CPU), so the benchmark always reports.
 """
 
 from __future__ import annotations
@@ -79,8 +80,22 @@ def _measure(f, n1: int, n2: int, pairs: int = 5):
 
 
 def run_pallas(u, cs2, dtdx):
+    # v4: full-width stripes with in-register (lane-roll) y-periodicity —
+    # x-only halo strips, so halo-recompute redundancy drops to 1+4G/TX
+    # and the per-launch fixed cost amortizes over G steps with no y strip
+    # build between launches; head-to-head measurements in BASELINE.md
+    from mara3_tpu.kernels import iso2d_step_v4 as K
+
+    def f(n):
+        return K.advance_n_pallas_v4(u, n, G=4, cs2=cs2, dtdx=dtdx,
+                                     dtdy=dtdx, theta=1.8, TX=256)
+    zps, spread = _measure(f, 52, 4052)
+    return zps, spread, "pallas_fused_v4"
+
+
+def run_pallas_v3(u, cs2, dtdx):
     # v3: auto-pipelined halo-strip tiles + 4 steps per kernel launch
-    # (temporal blocking); head-to-head measurements in BASELINE.md
+    # (temporal blocking); kept as the fallback path
     from mara3_tpu.kernels import iso2d_step_v3 as K
 
     def f(n):
@@ -114,7 +129,10 @@ def main():
     try:
         zps, spread, path = run_pallas(u, cs2, dt / dx)
     except Exception:
-        zps, spread, path = run_jnp(u, cs2, dt / dx)
+        try:
+            zps, spread, path = run_pallas_v3(u, cs2, dt / dx)
+        except Exception:
+            zps, spread, path = run_jnp(u, cs2, dt / dx)
 
     print(json.dumps({
         "metric": f"zone_updates_per_second_iso2d_{N}_{path}",

@@ -508,6 +508,61 @@ def main_chain():
           flush=True)
 
 
+def main_step():
+    """Full fast-step ablation at d6b96 rk1 — attributes the
+    step-minus-advance overhead among its sections. Cases:
+      full       — CFL reduce + advance + bookkeeping (info DCE'd)
+      fixed_dt   — no CFL reduce
+      no_book    — no orbital-element bookkeeping
+      neither    — advance only (should approach the bare advance)
+      full+rows  — the shipped make_fast_scan (adds disk reductions +
+                   per-chunk info packing)
+    """
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+
+    for name, updates, book in (
+            ("full", {}, True),
+            ("fixed_dt", {"fixed_dt": 1}, True),
+            ("no_book", {}, False),
+            ("neither", {"fixed_dt": 1}, False)):
+        cfg = B.create_config_template().create().update(
+            {"depth": 6, "block_size": 96, "rk_order": 1, **updates})
+        sd = B.create_solver_data(cfg)
+        sol = B.create_solution(cfg, sd)
+        step = binary_step.make_fast_step(sd, bookkeeping=book,
+                                          retry=False)
+        s0 = binary_step.solution_to_arrays(
+            sol, jnp.asarray(sd.initial_conserved).dtype)
+        nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
+              * s0["conserved"].shape[3])
+
+        @partial(jax.jit, static_argnames=("n",))
+        def scan(s, n: int, _step=step):
+            def body(s, _):
+                s1, _info = _step.traced(s)
+                return s1, None
+            s2, _ = jax.lax.scan(body, s, length=n)
+            return s2["conserved"]
+
+        per = marginal(lambda n: scan(s0, n), 5, 205)
+        print(json.dumps({"case": name, "ms": per * 1e3, "zps": nz / per}),
+              flush=True)
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    scan_steps = binary_step.make_fast_scan(sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
+          * s0["conserved"].shape[3])
+    per = marginal(lambda n: scan_steps(s0, n)[0]["conserved"], 5, 205)
+    print(json.dumps({"case": "full+rows", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "nofix":
@@ -518,5 +573,7 @@ if __name__ == "__main__":
         main_front2()
     elif len(sys.argv) > 1 and sys.argv[1] == "chain":
         main_chain()
+    elif len(sys.argv) > 1 and sys.argv[1] == "step":
+        main_step()
     else:
         main()

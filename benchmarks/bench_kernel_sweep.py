@@ -65,6 +65,16 @@ def build_case(case, tile, n, dtype_bytes=4):
         f = jax.jit(lambda u, m: advance_n_pallas_v3(
             u, m, G=G, cs2=0.01, dtdx=dt / dx, dtdy=dt / dx, theta=1.8,
             tile=tile), static_argnums=1)
+    elif case.startswith("v4g"):
+        from mara3_tpu.kernels.iso2d_step_v4 import advance_n_pallas_v4
+        G = int(case[3:])
+        f = jax.jit(lambda u, m: advance_n_pallas_v4(
+            u, m, G=G, cs2=0.01, dtdx=dt / dx, dtdy=dt / dx, theta=1.8,
+            TX=TX), static_argnums=1)
+        h = 2 * G
+        s = h / TX                   # x strips only; no y strips in v4
+        passes = (3.0 + 2.0 * s) / G
+        return f, G, passes * 3 * dtype_bytes, 1 + 2 * h / TX
     elif case.startswith("lig"):
         from mara3_tpu.kernels.iso2d_step_li import advance_n_pallas_li
         G = int(case[3:])

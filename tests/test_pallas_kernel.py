@@ -172,6 +172,36 @@ def test_v3_temporal_blocking_matches_sequential():
                                rtol=1e-12, atol=1e-13)
 
 
+def test_v4_stripes_match_scheme_and_bitmatch_v3():
+    """v4 (full-width stripes, lane-roll y-periodicity) must track the jnp
+    scheme like v3 does, and agree with v3 at the ULP level (the rolls
+    only change where neighbor values come from, not the formulas — but
+    XLA CPU fuses FMAs per-graph, so even v3 vs the scheme differs by
+    1 ulp per op in interpret mode; measured here: all three pairwise
+    diffs are exactly <= 1 ulp after one step)."""
+    import mara3_tpu.kernels.iso2d_step_v3 as K3
+    import mara3_tpu.kernels.iso2d_step_v4 as K4
+
+    nx, ny = 128, 128
+    u = random_state(nx, ny)
+    cs2, dx, dt, theta = 0.1, 2.0 / nx, 2e-4, 1.8
+    expected = u
+    for _ in range(8):
+        expected = iso2d_grid.step_periodic_uniform(expected, cs2, dx, dx,
+                                                    dt, theta)
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = K4.advance_n_pallas_v4(usoa, 8, G=4, cs2=cs2, dtdx=dt / dx,
+                                     dtdy=dt / dx, theta=theta, TX=64)
+        ref3 = K3.advance_n_pallas_v3(usoa, 8, G=4, cs2=cs2, dtdx=dt / dx,
+                                      dtdy=dt / dx, theta=theta,
+                                      tile=(64, 128))
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref3),
+                               rtol=1e-13, atol=1e-15)
+
+
 @pytest.mark.parametrize("conserve_p", [True, False])
 @pytest.mark.parametrize("reconstruct", ["plm", "pcm"])
 @pytest.mark.parametrize("variant", [True, "jnp_strips"])
