@@ -32,6 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 GAMMA = 4.0 / 3.0
 
 
+def _rcp(x):
+    """Exact reciprocal, used to SHARE inversions: the SRHD per-zone math
+    is divide-bound (~100 f32 divides per zone-stage in the direct
+    spelling) and the reciprocal-first spelling below roughly halves the
+    count. approx=True was measured at only ~4e-3 relative error on this
+    runtime (the raw VPU estimate, no Newton refinement) — far too coarse
+    for the recovery's convergence test, so exact it is; the win is the
+    count, not the per-op cost."""
+    return pl.reciprocal(x, approx=False)
+
+
 def _plm(yl, y0, yr, theta):
     a = (y0 - yl) * theta
     b = (yr - yl) * 0.5
@@ -45,44 +56,45 @@ def _plm(yl, y0, yr, theta):
 
 def _hlle_t(Pl, Pr, axis):
     """Tuple HLLE along r (axis=0) or theta (axis=1) normals
-    (physics/srhd.py riemann_hlle_t with nhat inlined)."""
-    def conserved(P):
-        rho, u1, u2, u3, p = P
-        W = jnp.sqrt(1.0 + u1 * u1 + u2 * u2 + u3 * u3)
-        h = (rho + p * (1.0 + 1.0 / (GAMMA - 1.0))) / rho
-        D = rho * W
-        return (D, D * u1 * h, D * u2 * h, D * u3 * h,
-                D * h * W - p - D), W
+    (physics/srhd.py riemann_hlle_t with nhat inlined).
 
-    def wavespeeds(P, W):
+    Spelled reciprocal-first: with hd = rho*h the conserved vector is
+    divide-free (D*h == W*hd), vn = un/W shares one reciprocal between
+    wavespeeds and fluxes, vv == 1 - 1/W^2 replaces uu/(1+uu), and the
+    final 5 flux divides collapse into one reciprocal of (ap - am).
+    6 divides/side + 5 -> 3 reciprocals/side + 1 (same formulas to ~1 ulp
+    per substitution; equivalence vs the jnp path at rtol=5e-5)."""
+    K = 1.0 + 1.0 / (GAMMA - 1.0)
+
+    def side(P):
         rho, u1, u2, u3, p = P
-        c2 = GAMMA * p / (rho + p * (1.0 + 1.0 / (GAMMA - 1.0)))
-        un = u1 if axis == 0 else u2
-        vn = un / W
         uu = u1 * u1 + u2 * u2 + u3 * u3
-        vv = uu / (1.0 + uu)
+        W = jnp.sqrt(1.0 + uu)
+        invW = _rcp(W)
+        hd = rho + p * K                        # rho * specific enthalpy
+        D = rho * W
+        U = (D, W * u1 * hd, W * u2 * hd, W * u3 * hd,
+             W * W * hd - p - D)
+        un = u1 if axis == 0 else u2
+        vn = un * invW
+        c2 = GAMMA * p * _rcp(hd)
+        vv = 1.0 - invW * invW                  # == uu / (1 + uu)
         v2 = vn * vn
         k0 = jnp.sqrt(c2 * (1.0 - vv) * (1.0 - vv * c2 - v2 * (1.0 - c2)))
-        return ((vn * (1.0 - c2) - k0) / (1.0 - vv * c2),
-                (vn * (1.0 - c2) + k0) / (1.0 - vv * c2))
+        invd = _rcp(1.0 - vv * c2)
+        am = (vn * (1.0 - c2) - k0) * invd
+        ap = (vn * (1.0 - c2) + k0) * invd
+        F = [vn * U[0], vn * U[1], vn * U[2], vn * U[3],
+             vn * U[4] + p * vn]
+        F[1 + axis] = F[1 + axis] + p
+        return U, tuple(F), am, ap
 
-    def flux(P, U, W):
-        rho, u1, u2, u3, p = P
-        un = u1 if axis == 0 else u2
-        v = un / W
-        f = [v * U[0], v * U[1], v * U[2], v * U[3], v * U[4] + p * v]
-        f[1 + axis] = f[1 + axis] + p
-        return tuple(f)
-
-    Ul, Wl = conserved(Pl)
-    Ur, Wr = conserved(Pr)
-    alm, alp = wavespeeds(Pl, Wl)
-    arm, arp = wavespeeds(Pr, Wr)
-    Fl = flux(Pl, Ul, Wl)
-    Fr = flux(Pr, Ur, Wr)
+    Ul, Fl, alm, alp = side(Pl)
+    Ur, Fr, arm, arp = side(Pr)
     ap = jnp.maximum(0.0, jnp.maximum(alp, arp))
     am = jnp.minimum(0.0, jnp.minimum(alm, arm))
-    return tuple((fl * ap - fr * am - (ul - ur) * ap * am) / (ap - am)
+    inv = _rcp(ap - am)
+    return tuple((fl * ap - fr * am - (ul - ur) * ap * am) * inv
                  for fl, fr, ul, ur in zip(Fl, Fr, Ul, Ur))
 
 
@@ -259,18 +271,26 @@ def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref):
     SS = S1 * S1 + S2 * S2 + S3 * S3
     eps_rel = 8.0 * jnp.finfo(D.dtype).eps
     f_floor = eps_rel * (jnp.abs(tau) + D)
+    invD = _rcp(D)          # D is loop-invariant: hoist its reciprocal
 
     def one_update(p, Wc, done):
-        v2 = jnp.minimum(SS / (tau + D + p) ** 2, 1.0 - 1e-10)
-        W2 = 1.0 / (1.0 - v2)
-        W = jnp.sqrt(W2)
-        e = (tau + D * (1.0 - W) + p * (1.0 - W2)) / (D * W)
-        d = D / W
-        h = 1.0 + e + p / d
-        cs2 = GAMMA * p / (d * h)
+        # reciprocal-first spelling of physics/srhd one_update: 1/W =
+        # sqrt(1-v2) directly, 1/(D*W) = invD/W, 1/d = invD*W, and the
+        # two trailing divides f/g with g = v2*cs2 - 1 fold into ONE
+        # reciprocal via f/g = f*h / (v2*GAMMA*p*invd - h). 7 divides ->
+        # 3 reciprocals per update (same Newton fixed point; trajectory
+        # agrees to f32 round-off, covered by the rtol=5e-5 equivalence).
+        invdp = _rcp(tau + D + p)
+        v2 = jnp.minimum(SS * invdp * invdp, 1.0 - 1e-10)
+        invW = jnp.sqrt(1.0 - v2)
+        W = _rcp(invW)
+        W2 = W * W
+        e = (tau + D * (1.0 - W) + p * (1.0 - W2)) * (invD * invW)
+        d = D * invW
+        invd = invD * W
+        h = 1.0 + e + p * invd
         f = d * e * (GAMMA - 1.0) - p
-        g = v2 * cs2 - 1.0
-        p_next = p - f / g
+        p_next = p - f * h * _rcp(v2 * GAMMA * p * invd - h)
         newly = jnp.abs(f) < ERROR_TOLERANCE + f_floor + eps_rel * jnp.abs(p)
         isdone = done > 0.5
         p_out = jnp.where(isdone, p, p_next)
@@ -298,10 +318,12 @@ def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref):
 
     jax.lax.while_loop(cond, body, (0, jnp.all(done0 > 0.5)))
     p, W, done = p_ref[...], w_ref[...], done_ref[...]
+    invW = _rcp(W)
     if tfloor > 0.0:
-        p = jnp.maximum(p, tfloor * D / W)
-    denom = tau + D + p
-    return (D / W, W * S1 / denom, W * S2 / denom, W * S3 / denom, p), done
+        p = jnp.maximum(p, tfloor * D * invW)
+    inv_denom = _rcp(tau + D + p)
+    return (D * invW, W * S1 * inv_denom, W * S2 * inv_denom,
+            W * S3 * inv_denom, p), done
 
 
 def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
@@ -333,7 +355,8 @@ def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
     interior = jnp.logical_and(rw >= 1, rw <= NR)   # recoverable rows
 
     dvw = dvw_scratch[...]
-    Uw = tuple(jnp.where(interior, ue_scratch[k] / dvw, 1.0)
+    inv_dvw = _rcp(dvw)
+    Uw = tuple(jnp.where(interior, ue_scratch[k] * inv_dvw, 1.0)
                for k in range(5))
     # U = (1,1,1,1,1) on non-interior rows recovers harmlessly; they start
     # converged so they cannot hold the Newton loop open
@@ -617,7 +640,9 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
 
     # ---- stage 1: recover the whole window, warm-started from p_prev
     u0w = tuple(ue_s[k] for k in range(5))
-    Uw = tuple(jnp.where(interior, u0w[k] / dvw, 1.0) for k in range(5))
+    inv_dvw = _rcp(dvw)
+    Uw = tuple(jnp.where(interior, u0w[k] * inv_dvw, 1.0)
+               for k in range(5))
     p0 = jnp.maximum(pg_s[...], 0.0)
     done0 = 1.0 - interior.astype(p0.dtype)
     P1, _ = _recover_window(Uw, jnp.where(interior, p0, 0.0), done0,
@@ -640,7 +665,8 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
                              jnp.logical_and(rw >= g0 + 2, rw <= g0 + TX + 5))
     u1w = tuple(u1w_s[k] for k in range(5))
     # the where() also sanitizes the unwritten halo rows of u1w_s
-    Uw2 = tuple(jnp.where(valid2, u1w[k] / dvw, 1.0) for k in range(5))
+    Uw2 = tuple(jnp.where(valid2, u1w[k] * inv_dvw, 1.0)
+                for k in range(5))
     # seed from stage 1's FLOORED pressure — what the two-launch version's
     # carry hands the second stage (fused_stage pout)
     p1 = jnp.maximum(P1[4], 0.0)

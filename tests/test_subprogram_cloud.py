@@ -179,6 +179,13 @@ def test_pallas_flux_update_matches_jnp():
     inflow = jnp.asarray(cloud._inflow_row(qc, 0.0, jet_static),
                          jnp.float32)
 
+    # tolerance calibration (applies to every fused-vs-jnp comparison in
+    # this file): the kernels spell the SRHD math reciprocal-first
+    # (cloud_update._rcp), so the Newton recovery follows a slightly
+    # different rounding trajectory and may stop anywhere inside the
+    # |f| < 1e-10 band — a few cells per 1e5 land ~1e-8 absolute apart
+    # on near-zero momenta. rtol pins the physics; atol absorbs that
+    # stopping-band slack.
     for method in (1, 2):
         want = cloud._flux_update(Pt, u0, inflow, geometry, dt, 1.5,
                                   method)
@@ -186,7 +193,7 @@ def test_pallas_flux_update_matches_jnp():
             got = cloud._flux_update_pallas(Pt, u0, inflow, geometry, dt,
                                             1.5, method, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=5e-5, atol=1e-8)
+                                   rtol=5e-5, atol=1e-7)
 
 
 def test_fused_stage_matches_jnp_stage():
@@ -224,9 +231,9 @@ def test_fused_stage_matches_jnp_stage():
                                             dt, 1.5, method, 1e-6, None,
                                             fused="interpret")
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-5, atol=1e-8)
+                                   rtol=5e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
-                                   rtol=5e-5, atol=1e-10)
+                                   rtol=5e-5, atol=1e-9)
 
 
 def test_fused_stage_matches_jnp_stage_evolved_warm():
@@ -268,9 +275,9 @@ def test_fused_stage_matches_jnp_stage_evolved_warm():
         b, pb = cloud._advance_once_soa(us, t, geometry, jet_static, dt,
                                         1.5, 2, 1e-6, p, fused="interpret")
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                               rtol=5e-5, atol=1e-8)
+                               rtol=5e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
-                               rtol=5e-5, atol=1e-10)
+                               rtol=5e-5, atol=1e-9)
 
 
 def test_fused_rk2_step_matches_two_stages():
@@ -336,6 +343,6 @@ def test_fused_rk2_step_matches_two_stages():
     ua, pa = cloud._advance_rk_carry_soa(
         us, pg, t, rv, qv, jet_static, dt, 1.5, 2, 1e-6, 2, fused=False)
     np.testing.assert_allclose(np.asarray(ub), np.asarray(ua),
-                               rtol=5e-5, atol=1e-8)
+                               rtol=5e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
-                               rtol=5e-5, atol=1e-10)
+                               rtol=5e-5, atol=1e-9)
