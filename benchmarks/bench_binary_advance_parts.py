@@ -562,6 +562,39 @@ def main_step():
     print(json.dumps({"case": "full+rows", "ms": per * 1e3,
                       "zps": nz / per}), flush=True)
 
+    # splits of the rows overhead: without the two disk reductions /
+    # with only a [time, invalid] per-step leaf
+    step = binary_step.make_fast_step(sd, retry=False)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_nodisk(s, n: int):
+        def body(s, _):
+            s1, info = step.traced(s)
+            info = dict(info)
+            z = jnp.zeros_like(info["dt"])
+            info["disk_mass"] = z
+            info["disk_angular_momentum"] = z
+            return s1, binary_step._pack_info(info)
+        s2, rows = jax.lax.scan(body, s, length=n)
+        return s2["conserved"]
+
+    per = marginal(lambda n: scan_nodisk(s0, n), 5, 205)
+    print(json.dumps({"case": "rows_nodisk", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_t2(s, n: int):
+        def body(s, _):
+            s1, info = step.traced(s)
+            return s1, jnp.stack([info["time"],
+                                  info["invalid"].astype(info["time"].dtype)])
+        s2, rows = jax.lax.scan(body, s, length=n)
+        return s2["conserved"]
+
+    per = marginal(lambda n: scan_t2(s0, n), 5, 205)
+    print(json.dumps({"case": "rows_t2", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
 
 if __name__ == "__main__":
     import sys

@@ -239,15 +239,28 @@ def make_fast_step(sd, bookkeeping=True, retry=True):
                                                    None)
         else:
             s_out, invalid, dt_used = s1, inv, dt
+        # disk totals spelled as one fused [B, C] block reduction plus a
+        # single dot-general: the direct component-sliced full-mesh
+        # reduces measured 0.21 ms/step on this runtime (rows ablation,
+        # bench_binary_advance_parts main_step) — the whole gap between
+        # the instrumented scan and the bare step
+        u_out = s_out["conserved"]
+        dAb = dA[:, 0, 0]                       # per-block cell area
+        bc = jnp.sum(u_out, axis=(2, 3))        # [B, C]
+        if conserve_p:
+            WL = jnp.stack([-xcT[:, 1], xcT[:, 0]]) \
+                * dAb[None, :, None, None]      # [2, B, bs, bs] constant
+            disk_L = jnp.einsum("kbij,bkij->", WL,
+                                u_out[:, 1:3],
+                                preferred_element_type=u_out.dtype)
+        else:
+            disk_L = jnp.sum(bc[:, 2] * dAb)
         info = {
             "dt": dt_used,
             "retried": inv,
             "invalid": invalid,
-            "disk_mass": jnp.sum(s_out["conserved"][:, 0] * dA),
-            "disk_angular_momentum": jnp.sum(
-                (xcT[:, 0] * s_out["conserved"][:, 2]
-                 - xcT[:, 1] * s_out["conserved"][:, 1]
-                 if conserve_p else s_out["conserved"][:, 2]) * dA),
+            "disk_mass": jnp.sum(bc[:, 0] * dAb),
+            "disk_angular_momentum": disk_L,
         }
         # everything but the conserved field rides along per step so the
         # driver can rebuild time-series rows without extra device syncs
@@ -317,17 +330,14 @@ def make_fast_scan(sd):
     def scan_steps(s, n: int):
         def body(s, _):
             s1, info = step.traced(s)
-            # raw per-step values; packing happens ONCE per chunk below —
-            # the ~17 reshape/concat ops of _pack_info cost ~0.65 ms per
-            # STEP when they ride inside the scan body
-            return s1, {k: info[k] for k, _ in _INFO_LAYOUT}
+            # pack to ONE [INFO_WIDTH] row in-body: lax.scan stacks each
+            # output LEAF with a ~13 us dynamic-update-slice per step on
+            # this runtime, so 16 leaves cost 0.21 ms/step while one
+            # fused concat + one leaf costs ~0.03 (measured r3, step
+            # ablation in bench_binary_advance_parts)
+            return s1, _pack_info(info)
 
-        s2, infos = jax.lax.scan(body, s, length=n)
-        ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        rows = jnp.concatenate(
-            [jnp.asarray(infos[name], ft).reshape(n, -1)
-             for name, _ in _INFO_LAYOUT], axis=1)
-        return s2, rows
+        return jax.lax.scan(body, s, length=n)
 
     return scan_steps
 
