@@ -508,6 +508,103 @@ def main_chain():
           flush=True)
 
 
+def main_k2():
+    """core2 (in-kernel strip builder) kernel ALONE: static front tensors
+    with an epsilon dependency on the carry — the core2 analog of
+    main_chain's kernel+dep. Attributes the shipped advance between the
+    kernel and its jnp front."""
+    from mara3_tpu.kernels import binary_advance
+    from mara3_tpu.mesh import block_layout
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+
+    cfg = B.create_config_template().create().update(
+        {"depth": 6, "block_size": 96, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    bodies = jnp.asarray(B._bodies_array(two_body.compute_two_body_state(
+        sol.orbital_elements, 0.0)), jnp.float32)
+    dt = jnp.float32(sd.recommended_time_step)
+    th = jnp.float32(sd.plm_theta)
+    uT0 = jnp.transpose(jnp.asarray(sol.conserved, jnp.float32),
+                        (0, 3, 1, 2))
+    nz = uT0.shape[0] * uT0.shape[2] * uT0.shape[3]
+    scfg = sd.cfg_scheme
+    nt = sd.nt
+    bs = scfg.block_size
+    B_ = uT0.shape[0]
+    K, Bp = binary_advance.pick_chunk(B_, bs)
+    pad = Bp - B_
+    nt_p = block_layout.pad_neighbor_table(nt, pad)
+    consts = block_layout.build_soa_guard(nt, bs)
+    gt = block_layout.GuardAllTables(nt_p, bs)
+    xc = np.asarray(sd.geometry[0])
+    spacing = np.asarray(sd.geometry[2])
+    k2_tables = binary_advance.build_kernel2_tables(
+        nt_p, np.pad(spacing, (0, pad), constant_values=1.0), bs,
+        jnp.float32)
+    x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+    y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+    geo = np.pad(np.stack([x00, y00, spacing], -1).reshape(B_, 1, 3),
+                 [(0, pad), (0, 0), (0, 0)], constant_values=1.0)
+    geoP = jnp.asarray(geo, jnp.float32)
+    spP = jnp.asarray(np.pad(spacing, (0, pad), constant_values=1.0),
+                      jnp.float32).reshape(Bp, 1, 1)
+    bmask = jnp.asarray(np.pad(np.ones(B_), (0, pad)),
+                        jnp.float32).reshape(Bp, 1, 1)
+    initT = jnp.pad(jnp.transpose(
+        jnp.asarray(sd.initial_conserved, jnp.float32), (0, 3, 1, 2)),
+        [(0, pad), (0, 0), (0, 0), (0, 0)])
+    cfg_tuple = (scfg.softening_radius, scfg.sink_radius, scfg.sink_rate,
+                 scfg.mach_number, scfg.axisymmetric_cs2,
+                 scfg.conserve_linear_p, scfg.density_floor,
+                 scfg.gst_suppr_radius ** 2)
+    cfg_flux = (scfg.softening_radius, scfg.mach_number,
+                scfg.axisymmetric_cs2, scfg.conserve_linear_p, scfg.alpha,
+                scfg.alpha_cutoff_radius, scfg.nu, scfg.domain_radius,
+                scfg.riemann)
+    buffer_cfg = (scfg.buffer_damping_rate, scfg.domain_radius)
+
+    benign = jnp.asarray(np.broadcast_to(
+        np.array([1.0, 0.0, 0.0])[None, :, None, None],
+        (pad, 3, bs, bs)).copy(), jnp.float32)
+    recover = sd.advance.recover_soa
+
+    def front(uT):
+        pT = jnp.concatenate([recover(uT), benign])
+        uTp = jnp.concatenate([uT, benign])
+        pxlo, pxhi, pylo, pyhi = block_layout.guard_strips_all(
+            pT, consts, gt)
+        rows6 = jnp.asarray((0, 1, 2, bs - 3, bs - 2, bs - 1))
+        Ex = pT[:, :, rows6]
+        Ey = jnp.swapaxes(pT[:, :, :, rows6], 2, 3)
+        rows4 = jnp.asarray((0, 1, bs - 2, bs - 1))
+        cqx = jnp.stack([pylo[:, :, rows4], pyhi[:, :, rows4]], axis=-1)
+        cqy = jnp.stack([pxlo[:, :, rows4], pxhi[:, :, rows4]], axis=-1)
+        return (uTp, pT, (pxlo, pxhi, pylo, pyhi), (Ex, Ey), (cqx, cqy))
+
+    static = jax.block_until_ready(jax.jit(front)(uT0))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_dep(uT, n: int):
+        def body(u, _):
+            eps = 1e-30 * u[0, 0, 0, 0]
+            uTp, pT, guards, edges, corners = static
+            uTp = uTp + eps
+            pT = pT + eps
+            u1, *_ = binary_advance.fused_advance_core2(
+                uTp, pT, guards, edges, corners, k2_tables, geoP, initT,
+                spP, bmask, dt, bodies, th, K, cfg_tuple, cfg_flux,
+                buffer_cfg)
+            return u1[:B_], None
+        u2, _ = jax.lax.scan(body, uT, length=n)
+        return u2
+
+    per = marginal(lambda n: scan_dep(uT0, n), 5, 205)
+    print(json.dumps({"case": "kernel2+dep", "ms": per * 1e3,
+                      "zps": nz / per}), flush=True)
+
+
 def main_step():
     """Full fast-step ablation at d6b96 rk1 — attributes the
     step-minus-advance overhead among its sections. Cases:
@@ -608,5 +705,7 @@ if __name__ == "__main__":
         main_chain()
     elif len(sys.argv) > 1 and sys.argv[1] == "step":
         main_step()
+    elif len(sys.argv) > 1 and sys.argv[1] == "k2":
+        main_k2()
     else:
         main()

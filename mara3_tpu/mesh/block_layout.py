@@ -37,6 +37,28 @@ class NeighborTable:
     fine_id: np.ndarray    # [B, 4, 2] ordered by the perpendicular coordinate
 
 
+def pad_neighbor_table(nt: NeighborTable, pad: int) -> NeighborTable:
+    """Extend the table with `pad` SELF-NEIGHBORING rows (case 0, every
+    face pointing at the pad block itself). Used by the persistently
+    padded flagship state: guard/strip tables built from the padded table
+    produce [Bp]-sized outputs directly, so the hot step never runs a
+    jnp.pad — and the pad blocks only ever read their own (benign, frozen)
+    data."""
+    if pad == 0:
+        return nt
+    B = nt.case.shape[0]
+    self_ids = np.repeat(np.arange(B, B + pad, dtype=np.int32)[:, None],
+                         4, axis=1)
+    z = np.zeros((pad, 4), np.int32)
+    return NeighborTable(
+        case=np.concatenate([nt.case, z]),
+        same_id=np.concatenate([nt.same_id, self_ids]),
+        coarse_id=np.concatenate([nt.coarse_id, z]),
+        coarse_half=np.concatenate([nt.coarse_half, z]),
+        fine_id=np.concatenate(
+            [nt.fine_id, np.zeros((pad, 4, 2), np.int32)]))
+
+
 def _face_neighbors(leaves: List[TreeIndex]):
     index_of = {leaf: b for b, leaf in enumerate(leaves)}
     leaf_set = set(leaves)

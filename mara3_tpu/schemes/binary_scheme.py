@@ -536,13 +536,29 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
              for f in range(4)}
 
     if in_kernel_guards:
+        # padded-native hot path (round 3): every table is built from a
+        # SELF-NEIGHBORING padded table so all strip/edge/corner tensors
+        # come out [Bp]-sized with no jnp.pad on the step's critical path
+        # (10 per-step pads measured as part of the ~0.46 ms jnp front).
+        # The pad blocks carry benign sigma=1 v=0 data refreshed each call.
+        nt_p = block_layout.pad_neighbor_table(nt, pad)
         tab, sp_all, Mh2, Pf2 = binary_advance.build_kernel2_tables(
-            nt, spacing, bs, dtype)
-        if pad:
-            tab = jnp.pad(tab, [(0, pad), (0, 0), (0, 0)])
-            sp_all = jnp.pad(sp_all, (0, pad), constant_values=1.0)
+            nt_p, np.pad(spacing, (0, pad), constant_values=1.0), bs,
+            dtype)
         k2_tables = (tab, sp_all, Mh2, Pf2)
-        guard_tables = block_layout.GuardAllTables(nt, bs)
+        guard_tables = block_layout.GuardAllTables(nt_p, bs)
+        fine0P = {f: jnp.asarray(nt_p.fine_id[:, f, 0]) for f in range(4)}
+        fine1P = {f: jnp.asarray(nt_p.fine_id[:, f, 1]) for f in range(4)}
+        fmaskP = {f: jnp.asarray(nt_p.case[:, f] == 2, dtype)[:, None,
+                                                              None]
+                  for f in range(4)}
+        benign_u = jnp.asarray(
+            np.broadcast_to(np.array([1.0, 0.0, 0.0])[None, :, None,
+                                                      None],
+                            (pad, 3, bs, bs)).copy(), dtype)
+        benign_p = benign_u
+        sp_jP = jnp.asarray(np.pad(spacing, (0, pad),
+                                   constant_values=1.0), dtype)
 
     def recover_soa(uT):
         """Component-first primitive recovery [B, C, bs, bs]; exposed so
@@ -571,6 +587,12 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             pT = recover_soa(uT)
 
         if in_kernel_guards:
+            # normalize to [Bp] with ONE concat of the benign pad state
+            # (replaces ten per-step jnp.pads); every table below is
+            # [Bp]-strided so the whole pipeline stays padded-native
+            if pad and uT.shape[0] == B:
+                uT = jnp.concatenate([uT, benign_u])
+                pT = jnp.concatenate([pT, benign_p])
             # one batched gather/einsum pass for all four strips
             # (bit-matches the per-axis calls; tested in test_mesh)
             pxlo, pxhi, pylo, pyhi = block_layout.guard_strips_all(
@@ -596,25 +618,24 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
             # neighbors' edge slopes never exist as jnp arrays. Single
             # fancy-index gathers, not per-row stacks: each jnp op costs
             # ~5-6 us on this runtime and the packing sits on the step's
-            # critical path.
+            # critical path. Everything is already [Bp]-sized here.
             rows6 = jnp.asarray((0, 1, 2, bs - 3, bs - 2, bs - 1))
-            Ex = pT[:, :, rows6]                       # [B, C, 6, bs]
+            Ex = pT[:, :, rows6]                       # [Bp, C, 6, bs]
             Ey = jnp.swapaxes(pT[:, :, :, rows6], 2, 3)
             rows4 = jnp.asarray((0, 1, bs - 2, bs - 1))
             cqx = jnp.stack([pylo[:, :, rows4], pyhi[:, :, rows4]],
-                            axis=-1)                   # [B, C, 4, 2]
+                            axis=-1)                   # [Bp, C, 4, 2]
             cqy = jnp.stack([pxlo[:, :, rows4], pxhi[:, :, rows4]],
                             axis=-1)
             u1T, fxlo, fxhi, fylo, fyhi, totals16 = \
                 binary_advance.fused_advance_core2(
-                    padB(uT), padB(pT),
-                    (padB(pxlo), padB(pxhi), padB(pylo), padB(pyhi)),
-                    (padB(Ex), padB(Ey)), (padB(cqx), padB(cqy)),
+                    uT, pT, (pxlo, pxhi, pylo, pyhi),
+                    (Ex, Ey), (cqx, cqy),
                     k2_tables, geoP, initT, spP, bmask, dt, bodies,
                     theta_eff, K, cfg_tuple, cfg_flux, buffer_cfg,
                     interpret=interpret)
-            return _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16,
-                                   dt=dt, bodies=bodies)
+            return _finish_advance_padded(u1T, fxlo, fxhi, fylo, fyhi,
+                                          totals16, dt=dt, bodies=bodies)
 
         # NOTE (round 3): batching these 16 small plm_gradient calls into 4
         # stacked [B, C, 4, bs] calls was measured 60% SLOWER end-to-end
@@ -682,6 +703,50 @@ def _make_advance_chunked(cfg: SchemeConfig, nt: block_layout.NeighborTable,
                 cfg_tuple, cfg_flux, buffer_cfg, interpret=interpret)
         return _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16,
                                dt=dt, bodies=bodies)
+
+    def _finish_advance_padded(u1T, fxlo, fxhi, fylo, fyhi, totals16, *,
+                               dt, bodies):
+        """_finish_advance on [Bp] arrays with the padded fixup tables:
+        the pad rows carry fmask == 0 so the edge edits leave them
+        untouched, and the single [:B] trim at the end is the only
+        leading-axis copy on the whole padded-native path."""
+        dtdA = (dt / (sp_jP * sp_jP))[:, None, None]
+
+        def restricted(strips, ids0, ids1):
+            st = jnp.concatenate([strips[ids0], strips[ids1]], axis=-1)
+            return st[..., 0::2] + st[..., 1::2]
+
+        d = (restricted(fxhi, fine0P[0], fine1P[0]) - fxlo) * dtdA \
+            * fmaskP[0]
+        u1T = u1T.at[:, :, 0, :].add(d)
+        d = (restricted(fxlo, fine0P[1], fine1P[1]) - fxhi) * dtdA \
+            * fmaskP[1]
+        u1T = u1T.at[:, :, -1, :].add(-d)
+        d = (restricted(fyhi, fine0P[2], fine1P[2]) - fylo) * dtdA \
+            * fmaskP[2]
+        u1T = u1T.at[:, :, :, 0].add(d)
+        d = (restricted(fylo, fine0P[3], fine1P[3]) - fyhi) * dtdA \
+            * fmaskP[3]
+        u1T = u1T.at[:, :, :, -1].add(-d)
+
+        u1T = u1T[:B]
+        invalid = jnp.any(jnp.logical_or(u1T[:, 0] < 0.0,
+                                         jnp.isnan(u1T[:, 0])))
+
+        tt = totals16
+        totals = {
+            "mass_accreted_on": tt[0, :2],
+            "angular_momentum_accreted_on": tt[1, :2],
+            "integrated_torque_on": tt[2, :2],
+            "momentum_x_accreted_on": tt[3, :2],
+            "momentum_y_accreted_on": tt[4, :2],
+            "integrated_force_x_on": tt[5, :2],
+            "integrated_force_y_on": tt[6, :2],
+            "mass_ejected": tt[7, 0],
+            "angular_momentum_ejected": tt[8, 0],
+        }
+        totals["work_done_on"] = _work_done(totals, bodies)
+        return u1T, totals, invalid
 
     def _finish_advance(u1T, fxlo, fxhi, fylo, fyhi, totals16, *, dt,
                         bodies):
