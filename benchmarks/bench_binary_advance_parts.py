@@ -512,7 +512,10 @@ def main_k2():
     """core2 (in-kernel strip builder) kernel ALONE: static front tensors
     with an epsilon dependency on the carry — the core2 analog of
     main_chain's kernel+dep. Attributes the shipped advance between the
-    kernel and its jnp front."""
+    kernel and its jnp front. Optional argv[2] overrides K (grid
+    granularity sweep)."""
+    import sys
+
     from mara3_tpu.kernels import binary_advance
     from mara3_tpu.mesh import block_layout
     from mara3_tpu.models import two_body
@@ -534,6 +537,9 @@ def main_k2():
     bs = scfg.block_size
     B_ = uT0.shape[0]
     K, Bp = binary_advance.pick_chunk(B_, bs)
+    if len(sys.argv) > 2:            # k2 [K]: grid-granularity sweep
+        K = int(sys.argv[2])
+        Bp = ((B_ + K - 1) // K) * K
     pad = Bp - B_
     nt_p = block_layout.pad_neighbor_table(nt, pad)
     consts = block_layout.build_soa_guard(nt, bs)

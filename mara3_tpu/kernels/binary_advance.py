@@ -481,10 +481,9 @@ def fused_advance_core(u0T, pT, strips, blockgeo,
 # -----------------------------------------------------------------------------
 
 def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
-             cqx_ref, cqy_ref,
              u0_ref, p_ref, geo_ref, init_ref, sp_ref, mask_ref,
              pxlo_ref, pxhi_ref, pylo_ref, pyhi_ref,
-             ex_ref, ey_ref, pxloF_ref, pxhiF_ref, pyloF_ref, pyhiF_ref,
+             px_ref, py_ref,
              mh_ref, pf_ref,
              u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
              g_scratch, sg_ref, *, K, cfg_tuple, cfg_flux, buffer_cfg):
@@ -539,13 +538,20 @@ def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
     def nb_slopes(nb, axis, s):
         """(normal, transverse) [C, bs] slope rows of block nb at E slot
         s, divided by nb's spacing (matching gx_at_rows etc., which slope
-        each block on its own grid)."""
+        each block on its own grid).
+
+        All per-neighbor data rides ONE packed [C, 12, bs] tensor (rows
+        0-5 the six edge rows, 6/7 the lo/hi guard rows, 8-11 the corner
+        pairs in lanes 0:2) so each neighbor costs one dynamic slice
+        instead of four-six — the slice loop was 0.25 ms of the 0.76 ms
+        kernel at d6b96 before packing."""
         t = {0: 0, 1: 1, 4: 2, 5: 3}[s]
         inv_sp = 1.0 / spall_ref[nb]
-        E_nb = (ex_ref if axis == 0 else ey_ref)[nb]        # [C, 6, bs]
-        gloF = (pxloF_ref if axis == 0 else pyloF_ref)[nb]  # [C, bs]
-        ghiF = (pxhiF_ref if axis == 0 else pyhiF_ref)[nb]
-        cq_t = (cqx_ref if axis == 0 else cqy_ref)[nb, t]   # [C, 2]
+        P_nb = (px_ref if axis == 0 else py_ref)[nb]        # [C, 12, bs]
+        E_nb = P_nb[:, 0:6]                                 # [C, 6, bs]
+        gloF = P_nb[:, 6]                                   # [C, bs]
+        ghiF = P_nb[:, 7]
+        cq_t = P_nb[:, 8 + t, 0:2]                          # [C, 2]
         return (normal_slope(E_nb, gloF, ghiF, s) * inv_sp,
                 transverse_slope(E_nb[:, s], cq_t) * inv_sp)
 
@@ -672,13 +678,20 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
     cqx, cqy = corners
     tab, sp_all, Mh, Pf = tables
     # SMEM-staged operands need tiny trailing dims flattened (they pad to
-    # the scalar-tile width: an unflattened [Bp, 4, 6] int32 table plus
-    # two [Bp, C, 4, 2] corner tensors measured 1.86M > the 1M SMEM
-    # budget). The corner tensors go to VMEM as [Bp, 4, C, 2] so the
-    # kernel reads per-(nb, slot) [C, 2] vectors.
+    # the scalar-tile width: an unflattened [Bp, 4, 6] int32 table
+    # measured over the 1M SMEM budget together with the old corner
+    # tensors).
     tab = tab.reshape(tab.shape[0], 24)
-    cqx = jnp.transpose(cqx, (0, 2, 1, 3))
-    cqy = jnp.transpose(cqy, (0, 2, 1, 3))
+    # one packed per-neighbor tensor per axis (see _kernel2.nb_slopes):
+    # rows 0-5 = Ex slots, 6 = lo guard, 7 = hi guard, 8-11 = corner
+    # pairs (cq[:, :, t] in lanes 0:2)
+    zpad = ((0, 0), (0, 0), (0, 0), (0, bs - 2))
+    px = jnp.concatenate(
+        [Ex, pxlo[:, :, None], pxhi[:, :, None], jnp.pad(cqx, zpad)],
+        axis=2)
+    py = jnp.concatenate(
+        [Ey, pylo[:, :, None], pyhi[:, :, None], jnp.pad(cqy, zpad)],
+        axis=2)
 
     def vspec(c, nx, ny):
         return pl.BlockSpec((K, c, nx, ny), lambda j: (j, 0, 0, 0),
@@ -705,8 +718,6 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
             smem,                                   # plm_theta (1,1)
             smem,                                   # tab (Bp,4,6) int32
             smem,                                   # sp_all (Bp,)
-            fullspec(cqx),                          # cqx (Bp,4,C,2)
-            fullspec(cqy),
             vspec(C, bs, bs),                       # u0
             vspec(C, bs, bs),                       # p
             vspec3(1, 3),                           # blockgeo
@@ -721,12 +732,8 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
                          memory_space=pltpu.VMEM),  # pylo
             pl.BlockSpec((K, C, bs), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),  # pyhi
-            fullspec(Ex),                           # Ex (full, resident)
-            fullspec(Ey),
-            fullspec(pxlo),                         # full guard tensors
-            fullspec(pxhi),
-            fullspec(pylo),
-            fullspec(pyhi),
+            fullspec(px),                           # packed per-neighbor
+            fullspec(py),                           # tensors (resident)
             fullspec(Mh),
             fullspec(Pf),
         ],
@@ -749,10 +756,10 @@ def fused_advance_core2(u0T, pT, guards, edge_tensors, corners, tables,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
-        input_output_aliases={7: 0},
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(dt_arr, bodies_arr, theta_arr, tab, sp_all, cqx, cqy,
+    )(dt_arr, bodies_arr, theta_arr, tab, sp_all,
       u0T, pT, blockgeo, initT, spacing, bmask,
-      pxlo, pxhi, pylo, pyhi, Ex, Ey, pxlo, pxhi, pylo, pyhi, Mh, Pf)
+      pxlo, pxhi, pylo, pyhi, px, py, Mh, Pf)
     u1T, fxlo, fxhi, fylo, fyhi, totals_steps = out
     return u1T, fxlo, fxhi, fylo, fyhi, jnp.sum(totals_steps, axis=0)

@@ -717,29 +717,6 @@ def next_state(state: State, sd: SolverData) -> State:
     return State(solution, schedule, state.time_series, cfg)
 
 
-def _fast_sample_row(row, IX):
-    """TIME_SERIES_DTYPE row from one packed per-step info row
-    (schemes/binary_step._INFO_LAYOUT)."""
-    from mara3_tpu.models import two_body_jax as tbj
-    t = float(row[IX["time"]])
-    oe = tbj.unpack_elements(row[IX["oe"]])
-    bstate = two_body.compute_two_body_state(oe, t)
-    g2 = lambda k: tuple(float(v) for v in row[IX[k]])
-    return np.array((
-        t, float(row[IX["disk_mass"]]),
-        float(row[IX["disk_angular_momentum"]]),
-        g2("mass_accreted_on"), g2("angular_momentum_accreted_on"),
-        g2("integrated_torque_on"), g2("work_done_on"),
-        float(row[IX["mass_ejected"]]),
-        float(row[IX["angular_momentum_ejected"]]),
-        _full_elements_to_np(tbj.unpack_elements(row[IX["oe_acc"]])),
-        _full_elements_to_np(tbj.unpack_elements(row[IX["oe_grav"]])),
-        _full_elements_to_np(oe),
-        (bstate.body1.position_x, bstate.body1.position_y),
-        (bstate.body2.position_x, bstate.body2.position_y)),
-        dtype=TIME_SERIES_DTYPE)
-
-
 def _main_fast(cfg, sd: SolverData, state: State) -> int:
     """Driver loop over the fully-jitted step (schemes/binary_step.py),
     executed in lax.scan chunks: on this runtime every device->host
@@ -820,6 +797,15 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
             remaining = max(1, int((tfinal_t - t_now) / dt_est) + 1)
             n_cap = max(1, int((next_regrid - t_now) / dt_est) + 1) \
                 if regrid_on else remaining
+            # stop the chunk just short of the predicted time-series due
+            # so the due lands in the first steps of the NEXT chunk and
+            # the state replay for the sample stays ~free
+            tsi_t = cfg.get_double("tsi") * 2 * math.pi
+            next_ts = schedule.last_performed("record_time_series") \
+                + tsi_t
+            if t_now < next_ts:
+                to_due = max(1, int((next_ts - t_now) / dt_est) - 1)
+                n_cap = min(n_cap, to_due)
             remaining = min(remaining, n_cap)
             n = next(c for c in CHUNKS if c <= remaining)
 
@@ -840,12 +826,34 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         if s["time"].dtype == np.float32:
             s = {**s, "time": jnp.asarray(t_f64, s["time"].dtype)}
 
-        for row in rows:
+        due_steps = []
+        for i, row in enumerate(rows):
             schedule = mark_tasks(schedule, float(row[IX["time"]]),
                                   intervals)
             if schedule.is_due("record_time_series"):
-                ts = ts + (_fast_sample_row(row, IX),)
+                due_steps.append(i)
                 schedule = schedule.mark_as_completed("record_time_series")
+        # sample the full STATE at each due step (the reference's
+        # record_time_series runs on the current solution,
+        # subprog_binary.cpp:358-378): the last step's state is `s`;
+        # earlier dues replay deterministically from the chunk head. The
+        # planner below caps chunks just short of a predicted due so the
+        # replay is almost always 0-3 steps.
+        if due_steps:
+            s_cursor, done = s_prev, 0
+            for i in due_steps:
+                if i == len(rows) - 1:
+                    sol_due = binary_step.arrays_to_solution(s, Solution)
+                else:
+                    left = i + 1 - done
+                    while left > 0:
+                        c = next(cc for cc in CHUNKS if cc <= left)
+                        s_cursor, _ = scan_steps(s_cursor, c)
+                        left -= c
+                        done += c
+                    sol_due = binary_step.arrays_to_solution(s_cursor,
+                                                             Solution)
+                ts = ts + (time_series_sample(sol_due, sd),)
 
         if schedule.is_due("write_diagnostics") or \
                 schedule.is_due("write_checkpoint"):
