@@ -261,12 +261,23 @@ NEWTON_ITER_MAX = 50
 ERROR_TOLERANCE = 1e-10
 
 
-def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref):
+def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref,
+                    chunk=1):
     """Masked chunked Newton on a window. The iteration state lives in
     VMEM scratch refs and the lax.while_loop carries only scalars —
     Mosaic cannot legalize scf.yield of vector carries. done is a 0/1
     float mask for the same reason. Per-cell semantics match
-    physics/srhd.recover_primitive_t exactly."""
+    physics/srhd.recover_primitive_t exactly.
+
+    chunk is the number of masked updates per while-loop pass. Because
+    the done mask freezes cells inside a chunk and the 50-update bound
+    is counted in updates, per-cell results are chunk-size-INVARIANT;
+    only the pass count changes. Measured on an evolved jet/cloud state
+    (warm-started from the previous stage): 99.8% of zones satisfy the
+    tolerance at entry and 100% within 2 updates, so chunk=1 turns the
+    typical window into one update + exit instead of five (the round-2
+    x5 chunk was tuned for the XLA scalar-while overhead, which a
+    Pallas in-kernel loop does not pay)."""
     D, S1, S2, S3, tau = Uw
     SS = S1 * S1 + S2 * S2 + S3 * S3
     eps_rel = 8.0 * jnp.finfo(D.dtype).eps
@@ -309,12 +320,12 @@ def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref):
     def body(carry):
         it, _ = carry
         p, W, done = p_ref[...], w_ref[...], done_ref[...]
-        for _ in range(5):
+        for _ in range(chunk):
             p, W, done = one_update(p, W, done)
         p_ref[...] = p
         w_ref[...] = W
         done_ref[...] = done
-        return it + 5, jnp.all(done > 0.5)
+        return it + chunk, jnp.all(done > 0.5)
 
     jax.lax.while_loop(cond, body, (0, jnp.all(done0 > 0.5)))
     p, W, done = p_ref[...], w_ref[...], done_ref[...]
