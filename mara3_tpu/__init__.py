@@ -24,6 +24,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if _os.environ.get("MARA3_TPU_PLATFORM", ""):
+    # Backend selector that works even when the axon TPU tunnel is down:
+    # JAX_PLATFORM_NAME still initializes (and hangs on) the plugin,
+    # whereas the in-process config skips it entirely.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["MARA3_TPU_PLATFORM"])
+
 if _os.environ.get("MARA3_TPU_NO_COMPILE_CACHE", "") != "1":
     # persistent compilation cache: first compiles on this machine's TPU
     # tunnel take minutes; cached executables load in seconds
