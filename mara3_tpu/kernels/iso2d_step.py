@@ -167,7 +167,7 @@ def pallas_step(u_ext, *, cs2: float, dtdx: float, dtdy: float,
     return pl.pallas_call(
         kernel,
         grid=(nx // TX, ny // TY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((3, TX, TY),
                                lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),

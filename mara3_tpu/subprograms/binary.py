@@ -822,7 +822,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         # in the run dtype; re-anchor it each chunk from a float64 host
         # accumulation of the dt actually used (the reference carries time
         # in double)
-        t_f64 += float(np.float64(rows[:, IX["dt"]]).sum())
+        t_f64 += float(rows[:, IX["dt"]].astype(np.float64).sum())
         if s["time"].dtype == np.float32:
             s = {**s, "time": jnp.asarray(t_f64, s["time"].dtype)}
 
