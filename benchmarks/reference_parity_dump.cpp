@@ -16,6 +16,7 @@
                               // throw sites need (as the reference's own
                               // TUs include it first, subprog_cloud.cpp:36)
 #include "physics_euler.hpp"
+#include "physics_iso2d.hpp"
 #include "physics_srhd.hpp"
 #include "model_two_body.hpp"
 
@@ -171,12 +172,51 @@ static void dump_twobody()
                         }
 }
 
+// ---------------------------------------------------------------------------
+// iso2d HLLC: star-region scalars + interface fluxes on both axes, with
+// per-side sound speeds (physics_iso2d.hpp:610-712)
+// ---------------------------------------------------------------------------
+template<typename Flux3>
+static void put3(const Flux3& f)
+{
+    put(mara::get<0>(f).value);
+    put(mara::get<1>(f).value);
+    put(mara::get<2>(f).value);
+}
+
+static void dump_iso2d_hllc()
+{
+    std::vector<mara::iso2d::primitive_t> states;
+    for (double sg : {0.1, 1.0, 5.0})
+        for (double vx : {-0.6, 0.0, 0.8})
+            for (double vy : {0.3, -0.4})
+                states.push_back(mara::iso2d::primitive_t()
+                    .with_sigma(sg)
+                    .with_velocity_x(vx)
+                    .with_velocity_y(vy));
+
+    auto xh = mara::unit_vector_t::on_axis_1();
+    auto yh = mara::unit_vector_t::on_axis_2();
+    for (size_t i = 0; i + 1 < states.size(); ++i) {
+        double cs2l = 0.05 + 0.07 * (i % 3);
+        double cs2r = 0.03 + 0.11 * (i % 4);
+        auto v = mara::iso2d::compute_hllc_variables(
+            states[i], states[i + 1], cs2l, cs2r, xh);
+        put(v.pstar); put(v.sl); put(v.sr); put(v.sstar);
+        put3(mara::iso2d::riemann_hllc(states[i], states[i + 1],
+                                       cs2l, cs2r, xh));
+        put3(mara::iso2d::riemann_hllc(states[i], states[i + 1],
+                                       cs2l, cs2r, yh));
+    }
+}
+
 int main(int argc, char** argv)
 {
     if (argc < 3) { std::fprintf(stderr, "usage: %s <mode> <out>\n", argv[0]); return 2; }
     if      (!std::strcmp(argv[1], "euler"))   dump_euler();
     else if (!std::strcmp(argv[1], "srhd"))    dump_srhd();
     else if (!std::strcmp(argv[1], "twobody")) dump_twobody();
+    else if (!std::strcmp(argv[1], "iso2d"))   dump_iso2d_hllc();
     else { std::fprintf(stderr, "unknown mode %s\n", argv[1]); return 2; }
 
     FILE* f = std::fopen(argv[2], "wb");

@@ -219,3 +219,32 @@ def test_two_body_parity_with_reference_headers(tmp_path):
                                         f"pomega={pomega} t={t}")
                             i += 1
     assert i == raw.shape[0]
+
+
+def test_iso2d_hllc_parity_with_reference_headers(tmp_path):
+    """riemann_hllc + the star-region scalars of compute_hllc_variables vs
+    the reference's own physics_iso2d.hpp:610-712, per-side sound speeds,
+    both axes. The state grid mirrors dump_iso2d_hllc exactly."""
+    from mara3_tpu.physics import iso2d
+
+    raw = parity_dump(tmp_path, "iso2d").reshape(-1, 10)
+    states = []
+    for sg in (0.1, 1.0, 5.0):
+        for vx in (-0.6, 0.0, 0.8):
+            for vy in (0.3, -0.4):
+                states.append([sg, vx, vy])
+    states = jnp.asarray(states, jnp.float64)
+
+    xh, yh = (1.0, 0.0), (0.0, 1.0)
+    for i in range(len(states) - 1):
+        Pl, Pr = states[i], states[i + 1]
+        cs2l = 0.05 + 0.07 * (i % 3)
+        cs2r = 0.03 + 0.11 * (i % 4)
+        v = iso2d.compute_hllc_variables(Pl, Pr, cs2l, cs2r, xh)
+        mine = np.concatenate([
+            np.asarray([v["pstar"], v["sl"], v["sr"], v["sstar"]]),
+            np.asarray(iso2d.riemann_hllc(Pl, Pr, cs2l, cs2r, xh)),
+            np.asarray(iso2d.riemann_hllc(Pl, Pr, cs2l, cs2r, yh))])
+        np.testing.assert_allclose(mine, raw[i], rtol=5e-13, atol=5e-14,
+                                   err_msg=f"pair {i}")
+    assert raw.shape[0] == len(states) - 1
