@@ -121,7 +121,33 @@ def run_jnp(u, cs2, dtdx):
     return zps, spread, "jnp_fallback"
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """True once jax.devices() answers within timeout_s. The axon TPU
+    plugin hangs indefinitely at backend init when its tunnel is down
+    (even under JAX_PLATFORM*=cpu); probing in a worker thread keeps the
+    one-JSON-line contract instead of hanging the driver. The thread is
+    daemonized — if the probe never returns, interpreter exit is fine
+    because nothing else has touched the backend yet."""
+    import threading
+
+    ok = []
+    t = threading.Thread(target=lambda: ok.append(len(jax.devices())),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "zone_updates_per_second_iso2d_unavailable",
+            "value": 0.0,
+            "unit": "zones/s",
+            "vs_baseline": 0.0,
+            "error": "jax backend init timed out (TPU tunnel unreachable)",
+        }))
+        return
     u = initial_state()
     cs2 = 0.1
     dx = 2.0 / N
