@@ -1,0 +1,181 @@
+"""Fused sedov kernel: the whole 1D log-radial Euler blast resident in VMEM.
+
+The sedov step (subprograms/sedov._step, re-designing the reference's
+subprog_sedov.cpp:395-420 Godunov update) is launch-bound on this runtime:
+at 524k zones the fused jnp step costs ~0.14 ms, of which the fixed
+dispatch cost is the dominant term (BASELINE.md round-2/3 attribution:
+~0.3 ms per Pallas launch, ~0.1 ms per XLA dispatch chain). The state is
+only ~10 MB, so the TPU-native fix is to keep it entirely in VMEM and run
+G steps per launch with zero HBM traffic between steps.
+
+Layout: the radial axis is folded 2D as r = s*L + l onto [5, S, L]
+(components leading, like the cloud kernel's SoA) — a bare [1, nr] row
+would pad 8x in sublanes and blow VMEM at 524k zones. Neighbor access in
+flattened order is a lane roll plus a sublane-roll fix on the wrapped lane
+(cf. kernels/iso2d_step_v4's in-register periodicity):
+
+    z[r] = x[r-1]  ==  where(lane == 0, roll_subl(roll_lane(x,+1),+1),
+                             roll_lane(x,+1))
+
+Faces: one HLLE row covers faces 0..nr-1 (face f: L = cell f-1 via
+shift-right with the reflecting-guard fix at r=0, R = cell f); the single
+outer face nr (zero-gradient BC) is a scalar [1,1] riemann evaluation
+spliced into the shifted flux row at the last element — so each step pays
+exactly ONE full-row riemann, like the jnp scheme.
+
+dt is static per run on the fixed log grid (grid_dt), so it is compiled
+in; the iteration loop writes through the output ref because Mosaic
+cannot legalize vector loop carries (cloud-kernel lesson).
+
+Supports euler + pcm/plm (the reference's sedov scheme and this repo's
+2nd-order extension). The SRHD system's Newton recovery is a separate
+project (kernels/cloud_update has the machinery).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mara3_tpu.mathx.plm import plm_gradient
+from mara3_tpu.physics import euler
+
+_REFL = (1.0, -1.0, 1.0, 1.0, 1.0)
+_NHAT = (1.0, 0.0, 0.0)
+
+
+def _fold_shape(nr: int):
+    """(S, L) with S*L == nr, L a lane-friendly multiple of 128 chosen so
+    the sublane count stays >= 8 where possible."""
+    for L in (512, 256, 128):
+        if nr % L == 0 and nr // L >= 1:
+            return nr // L, L
+    raise ValueError(f"nr={nr} must be a multiple of 128 for the fused "
+                     "sedov kernel")
+
+
+def _shift_right(x, lane):
+    """z[r] = x[r-1] in flattened (s*L + l) order; z at r=0 is garbage
+    (global wrap), callers mask it."""
+    S, L = x.shape
+    y = pltpu.roll(x, 1, 1)
+    return jnp.where(lane == 0, pltpu.roll(y, 1, 0), y)
+
+
+def _shift_left(x, lane):
+    """z[r] = x[r+1]; z at r=nr-1 is garbage, callers mask it."""
+    S, L = x.shape
+    y = pltpu.roll(x, L - 1, 1)
+    return jnp.where(lane == L - 1, pltpu.roll(y, S - 1, 0), y)
+
+
+def _kernel(u_ref, geo_ref, out_ref, *, G, dt, theta, method, gamma):
+    S, L = u_ref.shape[1], u_ref.shape[2]
+    dv = geo_ref[0]
+    dal = geo_ref[1]
+    dar = geo_ref[2]
+    rc = geo_ref[3]
+    inv_dv = 1.0 / dv          # one divide per launch, not per step
+    sub = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    first = jnp.logical_and(sub == 0, lane == 0)          # r == 0
+    last = jnp.logical_and(sub == S - 1, lane == L - 1)   # r == nr-1
+
+    out_ref[...] = u_ref[...]
+
+    def scalar_at_last(x):
+        return x[S - 1:S, L - 1:L]
+
+    def step(_, carry):
+        U = out_ref[...]
+        Ut = tuple(U[k] * inv_dv for k in range(5))
+        Pt = euler.recover_primitive_t(Ut, gamma, 0.0)
+
+        if method == 1:                                   # pcm
+            g5 = tuple(jnp.zeros_like(Pt[0]) for _ in range(5))
+        else:                                             # plm
+            g5 = []
+            for k, sgn in enumerate(_REFL):
+                c = Pt[k]
+                cl = jnp.where(first, sgn * c, _shift_right(c, lane))
+                cr = jnp.where(last, c, _shift_left(c, lane))
+                g5.append(plm_gradient(cl, c, cr, theta))
+            g5 = tuple(g5)
+
+        # face rows f = 0..nr-1: L state = cell f-1 (+slope), with the
+        # reflecting-guard value at f=0: sgn*c[0] + 0.5*plm(sgn*c[1],
+        # sgn*c[0], c[0])  (subprograms/sedov._extend_bc mirrored cells)
+        Lrow, Rrow = [], []
+        for k, sgn in enumerate(_REFL):
+            c, g = Pt[k], g5[k]
+            if method == 1:
+                guard = sgn * c
+            else:
+                cr = jnp.where(last, c, _shift_left(c, lane))
+                gm1 = plm_gradient(sgn * cr, sgn * c, c, theta)
+                guard = sgn * c + 0.5 * gm1
+            Lrow.append(jnp.where(first, guard,
+                                  _shift_right(c + 0.5 * g, lane)))
+            Rrow.append(c - 0.5 * g)
+        F = euler.riemann_hlle_t(tuple(Lrow), tuple(Rrow), _NHAT, gamma)
+
+        # the one remaining face (outer, f = nr): zero-gradient guard,
+        # L = c[nr-1] + 0.5*g[nr-1], R = c[nr-1] — a [1,1] evaluation
+        Ls = tuple(scalar_at_last(Pt[k] + 0.5 * g5[k]) for k in range(5))
+        Rs = tuple(scalar_at_last(Pt[k]) for k in range(5))
+        Fout = euler.riemann_hlle_t(Ls, Rs, _NHAT, gamma)
+        Fr = tuple(jnp.where(last, Fout[k], _shift_left(F[k], lane))
+                   for k in range(5))
+
+        s0 = euler.spherical_geometry_source_terms_radial_t(Pt, rc, gamma)
+        news = [U[k] + (-(Fr[k] * dar - F[k] * dal) + s0[k] * dv) * dt
+                for k in range(5)]
+        out_ref[...] = jnp.stack(news, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, G, step, 0)
+
+
+@partial(jax.jit, static_argnames=("dt", "num_steps", "reconstruct",
+                                   "plm_theta", "gamma", "interpret"))
+def advance_n_pallas(u0, vertices, dt, num_steps: int,
+                     reconstruct: str = "pcm", plm_theta: float = 1.5,
+                     gamma: float = 4.0 / 3.0, interpret: bool = False):
+    """num_steps fused euler sedov steps in ONE kernel launch.
+
+    u0 is the extrinsic [nr, 5] conserved state of subprograms/sedov;
+    result matches subprograms/sedov._step iterated num_steps times (same
+    formulas; the only deviations are fused rounding and the hoisted
+    1/dv, within a few ulp). dt is traced as a static closure constant.
+    """
+    nr = u0.shape[0]
+    S, L = _fold_shape(nr)
+    dtype = u0.dtype
+    dt = float(dt)
+
+    r0 = vertices[:-1]
+    r1 = vertices[1:]
+    dv = (r1 ** 3 - r0 ** 3) / 3.0
+    rc = 0.5 * (r0 + r1)
+    geo = jnp.stack([dv, r0 ** 2, r1 ** 2, rc]).astype(dtype)
+    geo = geo.reshape(4, S, L)
+
+    uf = jnp.moveaxis(u0, -1, 0).reshape(5, S, L)
+    method = 1 if reconstruct == "pcm" else 2
+
+    out = pl.pallas_call(
+        partial(_kernel, G=num_steps, dt=dt, theta=plm_theta,
+                method=method, gamma=gamma),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, S, L), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(uf, geo)
+    return jnp.moveaxis(out.reshape(5, nr), 0, -1)

@@ -273,16 +273,35 @@ def _step(system, u0, vertices, dt, reconstruct="pcm", plm_theta=1.5):
 
 @partial(jax.jit, static_argnames=("newtonian", "num_steps", "reconstruct",
                                    "plm_theta"))
-def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
-              reconstruct: str = "pcm", plm_theta: float = 1.5):
-    """num_steps Godunov steps fused in one compiled loop (no host syncs) —
-    the TPU-native replacement for the reference's per-step dispatch."""
+def _advance_n_jnp(u0, vertices, dt, newtonian: bool, num_steps: int,
+                   reconstruct: str = "pcm", plm_theta: float = 1.5):
     system = euler if newtonian else srhd
 
     def body(_, u):
         return _step(system, u, vertices, dt, reconstruct, plm_theta)
 
     return jax.lax.fori_loop(0, num_steps, body, u0)
+
+
+def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
+              reconstruct: str = "pcm", plm_theta: float = 1.5,
+              kernel=None):
+    """num_steps Godunov steps with no host syncs. On TPU the euler
+    pcm/plm path runs as ONE VMEM-resident Pallas launch for all
+    num_steps (kernels/sedov_step.py — the jnp loop is launch-bound at
+    these sizes); otherwise a fused lax.fori_loop. kernel=True/False
+    overrides the auto-selection (tested equivalent in interpret mode)."""
+    if kernel is None:
+        kernel = (jax.default_backend() == "tpu" and bool(newtonian)
+                  and reconstruct in ("pcm", "plm")
+                  and u0.shape[0] % 128 == 0)
+    if kernel:
+        from mara3_tpu.kernels import sedov_step
+        return sedov_step.advance_n_pallas(
+            u0, vertices, float(dt), num_steps, reconstruct, plm_theta,
+            interpret=kernel == "interpret")
+    return _advance_n_jnp(u0, vertices, dt, newtonian, num_steps,
+                          reconstruct, plm_theta)
 
 
 def grid_dt(vertices) -> float:

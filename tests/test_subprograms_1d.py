@@ -179,6 +179,37 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
     assert np.abs(u_hi - u_lo).max() > 1e-3
 
 
+@pytest.mark.parametrize("rec", ["pcm", "plm"])
+def test_sedov_fused_kernel_matches_step(rec):
+    """kernels/sedov_step.advance_n_pallas (whole state VMEM-resident,
+    G steps per launch, interpret mode) vs the jnp _step iterated: same
+    trajectory over several steps including the reflecting-inner and
+    zero-gradient-outer faces. Tolerance covers fused rounding and the
+    kernel's hoisted 1/dv (a few ulp per step)."""
+    from mara3_tpu.kernels import sedov_step
+    from mara3_tpu.physics import euler
+    from mara3_tpu.subprograms import sedov
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = sedov.config_template().create().update(
+        {"nr": 128, "newtonian": 1})
+    state = sedov.new_solution(cfg)
+    dt = sedov.grid_dt(state.vertices)
+    nsteps = 6
+
+    expected = state.conserved
+    for _ in range(nsteps):
+        expected = sedov._step(euler, expected, state.vertices, dt, rec, 1.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = sedov_step.advance_n_pallas(
+            state.conserved, state.vertices, dt, nsteps, rec, 1.5,
+            interpret=True)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-11, atol=1e-13)
+
+
 def test_sedov_tuple_step_matches_stacked():
     """The tuple-form sedov step must reproduce the stacked step exactly
     for pcm and plm, euler and srhd."""
