@@ -28,8 +28,12 @@ in; the iteration loop writes through the output ref because Mosaic
 cannot legalize vector loop carries (cloud-kernel lesson).
 
 Supports euler + pcm/plm (the reference's sedov scheme and this repo's
-2nd-order extension). The SRHD system's Newton recovery is a separate
-project (kernels/cloud_update has the machinery).
+2nd-order extension) and SRHD — the reference's default sedov mode —
+whose Newton recovery runs in-kernel via the cloud kernel's
+scratch-ref machinery (kernels/cloud_update._recover_window, per-cell
+semantics matching physics/srhd.recover_primitive_t), with the
+recovered pressure persisting in scratch as the warm start for the
+next step inside the launch.
 """
 
 from __future__ import annotations
@@ -41,8 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mara3_tpu.kernels.cloud_update import _recover_window
 from mara3_tpu.mathx.plm import plm_gradient
-from mara3_tpu.physics import euler
+from mara3_tpu.physics import euler, srhd
 
 _REFL = (1.0, -1.0, 1.0, 1.0, 1.0)
 _NHAT = (1.0, 0.0, 0.0)
@@ -73,7 +78,8 @@ def _shift_left(x, lane):
     return jnp.where(lane == L - 1, pltpu.roll(y, S - 1, 0), y)
 
 
-def _kernel(u_ref, geo_ref, out_ref, *, G, dt, theta, method, gamma):
+def _kernel(u_ref, geo_ref, out_ref, p_scr, w_scr, done_scr,
+            *, G, dt, theta, method, gamma, system, warm):
     S, L = u_ref.shape[1], u_ref.shape[2]
     dv = geo_ref[0]
     dal = geo_ref[1]
@@ -86,14 +92,28 @@ def _kernel(u_ref, geo_ref, out_ref, *, G, dt, theta, method, gamma):
     last = jnp.logical_and(sub == S - 1, lane == L - 1)   # r == nr-1
 
     out_ref[...] = u_ref[...]
+    if system == "srhd":
+        p_scr[...] = jnp.zeros((S, L), u_ref.dtype)
 
     def scalar_at_last(x):
         return x[S - 1:S, L - 1:L]
 
+    phys = euler if system == "euler" else srhd
+
     def step(_, carry):
         U = out_ref[...]
         Ut = tuple(U[k] * inv_dv for k in range(5))
-        Pt = euler.recover_primitive_t(Ut, gamma, 0.0)
+        if system == "euler":
+            Pt = euler.recover_primitive_t(Ut, gamma, 0.0)
+        else:
+            # cold start p=0 matches physics_srhd.hpp:393; warm restarts
+            # from the scratch-resident previous-step pressure (same
+            # stopping tolerance, covered by the warm equivalence test)
+            p0 = jnp.maximum(p_scr[...], 0.0) if warm \
+                else jnp.zeros((S, L), U.dtype)
+            done0 = jnp.zeros((S, L), U.dtype)
+            Pt, _ = _recover_window(Ut, p0, done0, 0.0,
+                                    p_scr, w_scr, done_scr)
 
         if method == 1:                                   # pcm
             g5 = tuple(jnp.zeros_like(Pt[0]) for _ in range(5))
@@ -121,17 +141,17 @@ def _kernel(u_ref, geo_ref, out_ref, *, G, dt, theta, method, gamma):
             Lrow.append(jnp.where(first, guard,
                                   _shift_right(c + 0.5 * g, lane)))
             Rrow.append(c - 0.5 * g)
-        F = euler.riemann_hlle_t(tuple(Lrow), tuple(Rrow), _NHAT, gamma)
+        F = phys.riemann_hlle_t(tuple(Lrow), tuple(Rrow), _NHAT, gamma)
 
         # the one remaining face (outer, f = nr): zero-gradient guard,
         # L = c[nr-1] + 0.5*g[nr-1], R = c[nr-1] — a [1,1] evaluation
         Ls = tuple(scalar_at_last(Pt[k] + 0.5 * g5[k]) for k in range(5))
         Rs = tuple(scalar_at_last(Pt[k]) for k in range(5))
-        Fout = euler.riemann_hlle_t(Ls, Rs, _NHAT, gamma)
+        Fout = phys.riemann_hlle_t(Ls, Rs, _NHAT, gamma)
         Fr = tuple(jnp.where(last, Fout[k], _shift_left(F[k], lane))
                    for k in range(5))
 
-        s0 = euler.spherical_geometry_source_terms_radial_t(Pt, rc, gamma)
+        s0 = phys.spherical_geometry_source_terms_radial_t(Pt, rc, gamma)
         news = [U[k] + (-(Fr[k] * dar - F[k] * dal) + s0[k] * dv) * dt
                 for k in range(5)]
         out_ref[...] = jnp.stack(news, axis=0)
@@ -141,17 +161,23 @@ def _kernel(u_ref, geo_ref, out_ref, *, G, dt, theta, method, gamma):
 
 
 @partial(jax.jit, static_argnames=("dt", "num_steps", "reconstruct",
-                                   "plm_theta", "gamma", "interpret"))
+                                   "plm_theta", "gamma", "system", "warm",
+                                   "interpret"))
 def advance_n_pallas(u0, vertices, dt, num_steps: int,
                      reconstruct: str = "pcm", plm_theta: float = 1.5,
-                     gamma: float = 4.0 / 3.0, interpret: bool = False):
-    """num_steps fused euler sedov steps in ONE kernel launch.
+                     gamma: float = 4.0 / 3.0, system: str = "euler",
+                     warm: bool = True, interpret: bool = False):
+    """num_steps fused sedov steps (euler or srhd) in ONE kernel launch.
 
     u0 is the extrinsic [nr, 5] conserved state of subprograms/sedov;
     result matches subprograms/sedov._step iterated num_steps times (same
-    formulas; the only deviations are fused rounding and the hoisted
-    1/dv, within a few ulp). dt is traced as a static closure constant.
+    formulas; the deviations are fused rounding, the hoisted 1/dv, and
+    for srhd the reciprocal-first Newton spelling — all within the
+    recovery stopping tolerance). dt is a static closure constant;
+    warm=False forces the reference's cold p=0 Newton start every step.
     """
+    if system == "srhd" and abs(gamma - 4.0 / 3.0) > 1e-12:
+        raise ValueError("in-kernel srhd Newton is compiled for gamma=4/3")
     nr = u0.shape[0]
     S, L = _fold_shape(nr)
     dtype = u0.dtype
@@ -169,11 +195,12 @@ def advance_n_pallas(u0, vertices, dt, num_steps: int,
 
     out = pl.pallas_call(
         partial(_kernel, G=num_steps, dt=dt, theta=plm_theta,
-                method=method, gamma=gamma),
+                method=method, gamma=gamma, system=system, warm=warm),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, S, L), dtype),
+        scratch_shapes=[pltpu.VMEM((S, L), dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

@@ -286,19 +286,20 @@ def _advance_n_jnp(u0, vertices, dt, newtonian: bool, num_steps: int,
 def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
               reconstruct: str = "pcm", plm_theta: float = 1.5,
               kernel=None):
-    """num_steps Godunov steps with no host syncs. On TPU the euler
-    pcm/plm path runs as ONE VMEM-resident Pallas launch for all
+    """num_steps Godunov steps with no host syncs. On TPU the pcm/plm
+    path (euler or srhd) runs as ONE VMEM-resident Pallas launch for all
     num_steps (kernels/sedov_step.py — the jnp loop is launch-bound at
     these sizes); otherwise a fused lax.fori_loop. kernel=True/False
     overrides the auto-selection (tested equivalent in interpret mode)."""
     if kernel is None:
-        kernel = (jax.default_backend() == "tpu" and bool(newtonian)
+        kernel = (jax.default_backend() == "tpu"
                   and reconstruct in ("pcm", "plm")
                   and u0.shape[0] % 128 == 0)
     if kernel:
         from mara3_tpu.kernels import sedov_step
         return sedov_step.advance_n_pallas(
             u0, vertices, float(dt), num_steps, reconstruct, plm_theta,
+            system="euler" if newtonian else "srhd",
             interpret=kernel == "interpret")
     return _advance_n_jnp(u0, vertices, dt, newtonian, num_steps,
                           reconstruct, plm_theta)

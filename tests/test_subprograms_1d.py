@@ -179,35 +179,45 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
     assert np.abs(u_hi - u_lo).max() > 1e-3
 
 
+@pytest.mark.parametrize("system_name", ["euler", "srhd"])
 @pytest.mark.parametrize("rec", ["pcm", "plm"])
-def test_sedov_fused_kernel_matches_step(rec):
+def test_sedov_fused_kernel_matches_step(rec, system_name):
     """kernels/sedov_step.advance_n_pallas (whole state VMEM-resident,
     G steps per launch, interpret mode) vs the jnp _step iterated: same
     trajectory over several steps including the reflecting-inner and
-    zero-gradient-outer faces. Tolerance covers fused rounding and the
-    kernel's hoisted 1/dv (a few ulp per step)."""
+    zero-gradient-outer faces. Euler tolerance covers fused rounding and
+    the hoisted 1/dv (a few ulp per step); srhd adds the in-kernel
+    Newton's reciprocal-first spelling and (warm path) restarts from the
+    previous step's pressure — both land within the recovery stopping
+    tolerance, so the bound is wider."""
     from mara3_tpu.kernels import sedov_step
-    from mara3_tpu.physics import euler
+    from mara3_tpu.physics import euler, srhd
     from mara3_tpu.subprograms import sedov
     from jax.experimental.pallas import tpu as pltpu
 
     cfg = sedov.config_template().create().update(
-        {"nr": 128, "newtonian": 1})
+        {"nr": 128, "newtonian": 1 if system_name == "euler" else 0})
+    system = euler if system_name == "euler" else srhd
     state = sedov.new_solution(cfg)
     dt = sedov.grid_dt(state.vertices)
     nsteps = 6
 
     expected = state.conserved
     for _ in range(nsteps):
-        expected = sedov._step(euler, expected, state.vertices, dt, rec, 1.5)
+        expected = sedov._step(system, expected, state.vertices, dt,
+                               rec, 1.5)
 
+    tol = dict(rtol=1e-11, atol=1e-13) if system_name == "euler" \
+        else dict(rtol=1e-8, atol=1e-10)
     with pltpu.force_tpu_interpret_mode():
-        got = sedov_step.advance_n_pallas(
-            state.conserved, state.vertices, dt, nsteps, rec, 1.5,
-            interpret=True)
-    assert got.shape == expected.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
-                               rtol=1e-11, atol=1e-13)
+        for warm in ((True,) if system_name == "euler" else (False, True)):
+            got = sedov_step.advance_n_pallas(
+                state.conserved, state.vertices, dt, nsteps, rec, 1.5,
+                system=system_name, warm=warm, interpret=True)
+            assert got.shape == expected.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(expected), **tol,
+                err_msg=f"warm={warm}")
 
 
 def test_sedov_tuple_step_matches_stacked():
