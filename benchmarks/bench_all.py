@@ -76,20 +76,21 @@ def bench_advect(repeat):
                 ms_per_step=per * 1e3)
 
 
-def bench_sedov(repeat):
+def bench_sedov(repeat, newtonian=1):
     from mara3_tpu.subprograms import sedov
     cfg = sedov.config_template().create().update(
-        {"nr": 262144, "newtonian": 1})
+        {"nr": 262144, "newtonian": newtonian})
     state = sedov.new_solution(cfg)
     nz = state.conserved.shape[0]
     dt = sedov.grid_dt(state.vertices)
 
     def f(n):
-        return sedov.advance_n(state.conserved, state.vertices, dt, True, n)
+        return sedov.advance_n(state.conserved, state.vertices, dt,
+                               bool(newtonian), n)
 
     zps, per = _marginal(f, nz, 10, 110, repeat)
-    return dict(config="sedov_euler", zones=nz, zps=zps,
-                ms_per_step=per * 1e3)
+    return dict(config="sedov_euler" if newtonian else "sedov_srhd",
+                zones=nz, zps=zps, ms_per_step=per * 1e3)
 
 
 def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
@@ -177,6 +178,7 @@ def bench_amrsand(repeat):
 
 BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                binary7=lambda repeat: bench_binary(repeat, depth=7),
+               sedov_srhd=lambda repeat: bench_sedov(repeat, newtonian=0),
                cloud=bench_cloud, amrsand=bench_amrsand)
 
 
