@@ -76,7 +76,7 @@ def pallas_step_multi(u_ext, *, G: int, cs2: float, dtdx: float,
     return pl.pallas_call(
         kernel,
         grid=(nx // TX, ny // TY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((3, TX, TY), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, nx, ny), u_ext.dtype),
