@@ -326,6 +326,74 @@ def test_two_process_distributed_sedov_with_restart(tmp_path):
     np.testing.assert_allclose(t_final, 2 * N_STEPS * dt, rtol=1e-14)
 
 
+def test_two_process_distributed_binary_with_restart(tmp_path):
+    """The flagship AMR advance across two real processes: block-sharded
+    collectives (all_gather guard edges + flux strips, psum totals) under
+    jax.distributed, per-host shard checkpoint, kill, restart from the
+    shards, final state matching the single-process advance at round-off.
+    Complements the distributed sedov workload with the AMR guard-table
+    surface (SURVEY §2.2)."""
+    import socket
+    import subprocess
+    import sys
+
+    import h5py
+    import jax.numpy as jnp
+
+    from mara3_tpu.models import two_body
+    from mara3_tpu.subprograms import binary as B
+    from tests.distributed_binary_worker import (BLOCK_SIZE, DEPTH,
+                                                 DT_FACTOR, N_STEPS)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "distributed_binary_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+
+    def spawn_phase(phase):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(r), str(tmp_path), phase],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo) for r in (0, 1)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        assert f"distributed binary {phase} OK" in outs[0]
+
+    spawn_phase("run")
+    spawn_phase("restart")
+
+    parts = {}
+    for r in (0, 1):
+        with h5py.File(tmp_path / f"final.{r}.h5") as f:
+            parts[int(f["block_start"][()])] = f["conserved"][()]
+            t_final = float(f["time"][()])
+            i_final = int(f["iteration"][()])
+    got = np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+
+    # single-process oracle: the jnp advance with the same orbit samples
+    cfg = B.create_config_template().create().update(
+        {"depth": DEPTH, "block_size": BLOCK_SIZE})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    dt = float(sd.recommended_time_step) * DT_FACTOR
+    u, t = sol.conserved, 0.0
+    for _ in range(2 * N_STEPS):
+        bodies = B._bodies_array(two_body.compute_two_body_state(
+            sol.orbital_elements, t))
+        u, _, invalid = sd.advance(u, bodies, jnp.asarray(dt), sd.plm_theta)
+        assert not bool(invalid)
+        t += dt
+
+    assert got.shape == u.shape
+    np.testing.assert_allclose(got, np.asarray(u), rtol=1e-12, atol=1e-15)
+    assert i_final == 2 * N_STEPS
+    np.testing.assert_allclose(t_final, 2 * N_STEPS * dt, rtol=1e-14)
+
+
 def test_block_sharded_explicit_advance_matches_unsharded():
     """The explicit-collective flagship advance (parallel/block_sharded.py:
     all_gather'd edge tensors + boundary flux strips, psum totals) must
