@@ -121,7 +121,7 @@ def run_jnp(u, cs2, dtdx):
     return zps, spread, "jnp_fallback"
 
 
-def _probe_backend(timeout_s: float = 120.0) -> bool:
+def _probe_backend(timeout_s: float = 600.0) -> bool:
     """True once jax.devices() answers within timeout_s. The axon TPU
     plugin hangs indefinitely at backend init when its tunnel is down
     (even under JAX_PLATFORM*=cpu); probing in a worker thread keeps the

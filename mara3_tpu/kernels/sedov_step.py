@@ -55,9 +55,14 @@ _NHAT = (1.0, 0.0, 0.0)
 
 def _fold_shape(nr: int):
     """(S, L) with S*L == nr, L a lane-friendly multiple of 128 chosen so
-    the sublane count stays >= 8 where possible."""
+    the sublane count stays >= 8 where possible (below 8 sublanes every
+    (8,128) tile is physically padded); small grids fall back to L=128
+    to minimize that padding."""
     for L in (512, 256, 128):
-        if nr % L == 0 and nr // L >= 1:
+        if nr % L == 0 and nr // L >= 8:
+            return nr // L, L
+    for L in (128, 256, 512):
+        if nr % L == 0:
             return nr // L, L
     raise ValueError(f"nr={nr} must be a multiple of 128 for the fused "
                      "sedov kernel")
@@ -78,8 +83,9 @@ def _shift_left(x, lane):
     return jnp.where(lane == L - 1, pltpu.roll(y, S - 1, 0), y)
 
 
-def _kernel(u_ref, geo_ref, out_ref, p_scr, w_scr, done_scr,
-            *, G, dt, theta, method, gamma, system, warm):
+def _kernel(u_ref, geo_ref, out_ref, *scratch,
+            G, dt, theta, method, gamma, system, warm):
+    p_scr, w_scr, done_scr = scratch if scratch else (None,) * 3
     S, L = u_ref.shape[1], u_ref.shape[2]
     dv = geo_ref[0]
     dal = geo_ref[1]
@@ -135,9 +141,11 @@ def _kernel(u_ref, geo_ref, out_ref, p_scr, w_scr, done_scr,
             if method == 1:
                 guard = sgn * c
             else:
-                cr = jnp.where(last, c, _shift_left(c, lane))
-                gm1 = plm_gradient(sgn * cr, sgn * c, c, theta)
-                guard = sgn * c + 0.5 * gm1
+                # only element [0,0] of the fix survives the where, so
+                # build it from [1,1] slices (cf. the outer-face scalars)
+                c0, c1 = c[0:1, 0:1], c[0:1, 1:2]
+                gm1 = plm_gradient(sgn * c1, sgn * c0, c0, theta)
+                guard = sgn * c0 + 0.5 * gm1
             Lrow.append(jnp.where(first, guard,
                                   _shift_right(c + 0.5 * g, lane)))
             Rrow.append(c - 0.5 * g)
@@ -200,7 +208,8 @@ def advance_n_pallas(u0, vertices, dt, num_steps: int,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, S, L), dtype),
-        scratch_shapes=[pltpu.VMEM((S, L), dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((S, L), dtype)] * 3
+        if system == "srhd" else [],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,

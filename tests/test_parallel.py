@@ -234,7 +234,8 @@ def test_two_process_distributed_session(tmp_path):
         port = s.getsockname()[1]
 
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "MARA3_TPU_PLATFORM")}
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(r), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -281,7 +282,8 @@ def test_two_process_distributed_sedov_with_restart(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "distributed_sedov_worker.py")
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "MARA3_TPU_PLATFORM")}
 
     def spawn_phase(phase):
         with socket.socket() as s:
@@ -348,7 +350,8 @@ def test_two_process_distributed_binary_with_restart(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "distributed_binary_worker.py")
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "MARA3_TPU_PLATFORM")}
 
     def spawn_phase(phase):
         with socket.socket() as s:
