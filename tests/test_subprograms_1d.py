@@ -179,9 +179,12 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
     assert np.abs(u_hi - u_lo).max() > 1e-3
 
 
-@pytest.mark.parametrize("system_name", ["euler", "srhd"])
+@pytest.mark.parametrize("system_name,nr", [
+    ("euler", 128), ("euler", 512),     # folds (2,128) and (8,128): both
+    ("srhd", 128),                      # sublane-crossing shift paths
+])
 @pytest.mark.parametrize("rec", ["pcm", "plm"])
-def test_sedov_fused_kernel_matches_step(rec, system_name):
+def test_sedov_fused_kernel_matches_step(rec, system_name, nr):
     """kernels/sedov_step.advance_n_pallas (whole state VMEM-resident,
     G steps per launch, interpret mode) vs the jnp _step iterated: same
     trajectory over several steps including the reflecting-inner and
@@ -196,7 +199,7 @@ def test_sedov_fused_kernel_matches_step(rec, system_name):
     from jax.experimental.pallas import tpu as pltpu
 
     cfg = sedov.config_template().create().update(
-        {"nr": 128, "newtonian": 1 if system_name == "euler" else 0})
+        {"nr": nr, "newtonian": 1 if system_name == "euler" else 0})
     system = euler if system_name == "euler" else srhd
     state = sedov.new_solution(cfg)
     dt = sedov.grid_dt(state.vertices)
