@@ -27,8 +27,9 @@ dt is static per run on the fixed log grid (grid_dt), so it is compiled
 in; the iteration loop writes through the output ref because Mosaic
 cannot legalize vector loop carries (cloud-kernel lesson).
 
-Supports euler + pcm/plm (the reference's sedov scheme and this repo's
-2nd-order extension) and SRHD — the reference's default sedov mode —
+Supports euler + pcm/plm/weno5 (the reference's sedov scheme and this
+repo's 2nd/5th-order extensions, incl. the weno positivity fallback)
+and SRHD — the reference's default sedov mode —
 whose Newton recovery runs in-kernel via the cloud kernel's
 scratch-ref machinery (kernels/cloud_update._recover_window, per-cell
 semantics matching physics/srhd.recover_primitive_t), with the
@@ -47,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mara3_tpu.kernels.cloud_update import _recover_window
 from mara3_tpu.mathx.plm import plm_gradient
+from mara3_tpu.mathx.weno import _weno5_left
 from mara3_tpu.physics import euler, srhd
 
 _REFL = (1.0, -1.0, 1.0, 1.0, 1.0)
@@ -68,19 +70,25 @@ def _fold_shape(nr: int):
                      "sedov kernel")
 
 
-def _shift_right(x, lane):
-    """z[r] = x[r-1] in flattened (s*L + l) order; z at r=0 is garbage
-    (global wrap), callers mask it."""
+def _shift(x, lane, k):
+    """z[r] = x[r-k] in flattened (s*L + l) order, |k| <= 3 < L; the |k|
+    global-edge positions hold wrapped garbage, callers mask them."""
     S, L = x.shape
-    y = pltpu.roll(x, 1, 1)
-    return jnp.where(lane == 0, pltpu.roll(y, 1, 0), y)
+    if k > 0:
+        y = pltpu.roll(x, k, 1)
+        return jnp.where(lane < k, pltpu.roll(y, 1, 0), y)
+    y = pltpu.roll(x, L + k, 1)
+    return jnp.where(lane >= L + k, pltpu.roll(y, S - 1, 0), y)
+
+
+def _shift_right(x, lane):
+    """z[r] = x[r-1]; z at r=0 is garbage, callers mask it."""
+    return _shift(x, lane, 1)
 
 
 def _shift_left(x, lane):
     """z[r] = x[r+1]; z at r=nr-1 is garbage, callers mask it."""
-    S, L = x.shape
-    y = pltpu.roll(x, L - 1, 1)
-    return jnp.where(lane == L - 1, pltpu.roll(y, S - 1, 0), y)
+    return _shift(x, lane, -1)
 
 
 def _kernel(u_ref, geo_ref, out_ref, *scratch,
@@ -121,40 +129,95 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
             Pt, _ = _recover_window(Ut, p0, done0, 0.0,
                                     p_scr, w_scr, done_scr)
 
-        if method == 1:                                   # pcm
-            g5 = tuple(jnp.zeros_like(Pt[0]) for _ in range(5))
-        else:                                             # plm
-            g5 = []
+        if method == 3:                                   # weno5
+            # z[f] = cell f+k with _extend_bc(P,3) guard values at the
+            # global edges (mirror inner, zero-gradient outer)
+            def cell_row(c, sgn, k):
+                z = _shift(c, lane, -k)
+                if k < 0:
+                    for j in range(-k):   # f=j -> guard cell j+k < 0
+                        gi = -(j + k) - 1
+                        gval = sgn * c[0:1, gi:gi + 1]
+                        z = jnp.where(
+                            jnp.logical_and(sub == 0, lane == j), gval, z)
+                else:
+                    glob = sub * L + lane
+                    z = jnp.where(glob >= S * L - k, scalar_at_last(c), z)
+                return z
+
+            Lrow, Rrow = [], []
             for k, sgn in enumerate(_REFL):
                 c = Pt[k]
-                cl = jnp.where(first, sgn * c, _shift_right(c, lane))
-                cr = jnp.where(last, c, _shift_left(c, lane))
-                g5.append(plm_gradient(cl, c, cr, theta))
-            g5 = tuple(g5)
+                rows = {j: cell_row(c, sgn, j) for j in (-3, -2, -1, 1, 2)}
+                rows[0] = c
+                Lrow.append(_weno5_left(rows[-3], rows[-2], rows[-1],
+                                        rows[0], rows[1]))
+                Rrow.append(_weno5_left(rows[2], rows[1], rows[0],
+                                        rows[-1], rows[-2]))
+            # positivity fallback to the first-order states, matching
+            # subprograms/sedov._face_states
+            L0 = [jnp.where(first, sgn * c, _shift_right(c, lane))
+                  for c, sgn in zip(Pt, _REFL)]
+            bad = ((Lrow[0] <= 0.0) | (Lrow[4] <= 0.0)
+                   | (Rrow[0] <= 0.0) | (Rrow[4] <= 0.0))
+            Lrow = [jnp.where(bad, l0, l) for l0, l in zip(L0, Lrow)]
+            Rrow = [jnp.where(bad, c, r) for c, r in zip(Pt, Rrow)]
+            g5 = None
+        else:
+            if method == 1:                               # pcm
+                g5 = tuple(jnp.zeros_like(Pt[0]) for _ in range(5))
+            else:                                         # plm
+                g5 = []
+                for k, sgn in enumerate(_REFL):
+                    c = Pt[k]
+                    cl = jnp.where(first, sgn * c, _shift_right(c, lane))
+                    cr = jnp.where(last, c, _shift_left(c, lane))
+                    g5.append(plm_gradient(cl, c, cr, theta))
+                g5 = tuple(g5)
 
-        # face rows f = 0..nr-1: L state = cell f-1 (+slope), with the
-        # reflecting-guard value at f=0: sgn*c[0] + 0.5*plm(sgn*c[1],
-        # sgn*c[0], c[0])  (subprograms/sedov._extend_bc mirrored cells)
-        Lrow, Rrow = [], []
-        for k, sgn in enumerate(_REFL):
-            c, g = Pt[k], g5[k]
-            if method == 1:
-                guard = sgn * c
-            else:
-                # only element [0,0] of the fix survives the where, so
-                # build it from [1,1] slices (cf. the outer-face scalars)
-                c0, c1 = c[0:1, 0:1], c[0:1, 1:2]
-                gm1 = plm_gradient(sgn * c1, sgn * c0, c0, theta)
-                guard = sgn * c0 + 0.5 * gm1
-            Lrow.append(jnp.where(first, guard,
-                                  _shift_right(c + 0.5 * g, lane)))
-            Rrow.append(c - 0.5 * g)
+            # face rows f = 0..nr-1: L state = cell f-1 (+slope), with
+            # the reflecting-guard value at f=0: sgn*c[0] +
+            # 0.5*plm(sgn*c[1], sgn*c[0], c[0])  (sedov._extend_bc)
+            Lrow, Rrow = [], []
+            for k, sgn in enumerate(_REFL):
+                c, g = Pt[k], g5[k]
+                if method == 1:
+                    guard = sgn * c
+                else:
+                    # only element [0,0] of the fix survives the where,
+                    # so build it from [1,1] slices
+                    c0, c1 = c[0:1, 0:1], c[0:1, 1:2]
+                    gm1 = plm_gradient(sgn * c1, sgn * c0, c0, theta)
+                    guard = sgn * c0 + 0.5 * gm1
+                Lrow.append(jnp.where(first, guard,
+                                      _shift_right(c + 0.5 * g, lane)))
+                Rrow.append(c - 0.5 * g)
         F = phys.riemann_hlle_t(tuple(Lrow), tuple(Rrow), _NHAT, gamma)
 
-        # the one remaining face (outer, f = nr): zero-gradient guard,
-        # L = c[nr-1] + 0.5*g[nr-1], R = c[nr-1] — a [1,1] evaluation
-        Ls = tuple(scalar_at_last(Pt[k] + 0.5 * g5[k]) for k in range(5))
-        Rs = tuple(scalar_at_last(Pt[k]) for k in range(5))
+        # the one remaining face (outer, f = nr): zero-gradient guards —
+        # a [1,1] evaluation from the last row's cells
+        if method == 3:
+            def sc(c, m):         # cell nr-1-m
+                return c[S - 1:S, L - 1 - m:L - m]
+
+            Ls, Rs = [], []
+            for c in Pt:
+                l = _weno5_left(sc(c, 2), sc(c, 1), sc(c, 0),
+                                sc(c, 0), sc(c, 0))
+                r = _weno5_left(sc(c, 0), sc(c, 0), sc(c, 0),
+                                sc(c, 1), sc(c, 2))
+                Ls.append(l)
+                Rs.append(r)
+            bad = ((Ls[0] <= 0.0) | (Ls[4] <= 0.0)
+                   | (Rs[0] <= 0.0) | (Rs[4] <= 0.0))
+            Ls = tuple(jnp.where(bad, sc(c, 0), l)
+                       for c, l in zip(Pt, Ls))
+            Rs = tuple(jnp.where(bad, sc(c, 0), r)
+                       for c, r in zip(Pt, Rs))
+        else:
+            Ls = tuple(scalar_at_last(Pt[k] + 0.5 * g5[k])
+                       for k in range(5))
+            Rs = tuple(scalar_at_last(Pt[k]) for k in range(5))
         Fout = phys.riemann_hlle_t(Ls, Rs, _NHAT, gamma)
         Fr = tuple(jnp.where(last, Fout[k], _shift_left(F[k], lane))
                    for k in range(5))
@@ -199,7 +262,7 @@ def advance_n_pallas(u0, vertices, dt, num_steps: int,
     geo = geo.reshape(4, S, L)
 
     uf = jnp.moveaxis(u0, -1, 0).reshape(5, S, L)
-    method = 1 if reconstruct == "pcm" else 2
+    method = {"pcm": 1, "plm": 2, "weno5": 3}[reconstruct]
 
     out = pl.pallas_call(
         partial(_kernel, G=num_steps, dt=dt, theta=plm_theta,

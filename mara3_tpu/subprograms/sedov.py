@@ -293,7 +293,7 @@ def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
     overrides the auto-selection (tested equivalent in interpret mode)."""
     if kernel is None:
         kernel = (jax.default_backend() == "tpu"
-                  and reconstruct in ("pcm", "plm")
+                  and reconstruct in ("pcm", "plm", "weno5")
                   and u0.shape[0] % 128 == 0)
     if kernel:
         from mara3_tpu.kernels import sedov_step

@@ -183,7 +183,7 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
     ("euler", 128), ("euler", 512),     # folds (2,128) and (8,128): both
     ("srhd", 128),                      # sublane-crossing shift paths
 ])
-@pytest.mark.parametrize("rec", ["pcm", "plm"])
+@pytest.mark.parametrize("rec", ["pcm", "plm", "weno5"])
 def test_sedov_fused_kernel_matches_step(rec, system_name, nr):
     """kernels/sedov_step.advance_n_pallas (whole state VMEM-resident,
     G steps per launch, interpret mode) vs the jnp _step iterated: same
