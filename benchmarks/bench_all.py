@@ -166,10 +166,16 @@ def bench_amrsand(repeat):
                  nt.fine_id)
     nz = u0.shape[0] * bs * bs
 
-    @partial(jax.jit, static_argnames=("n",))
-    def f(n: int):
-        return jax.lax.fori_loop(
-            0, n, lambda _, u: amrsand._advance(u, dxb, nt_arrays, dt), u0)
+    if jax.default_backend() == "tpu":
+        # ONE VMEM-resident launch for all n steps (kernels/amrsand_step)
+        def f(n: int):
+            return amrsand.advance_n(u0, dxb, nt, dt, n)
+    else:
+        @partial(jax.jit, static_argnames=("n",))
+        def f(n: int):
+            return jax.lax.fori_loop(
+                0, n, lambda _, u: amrsand._advance(u, dxb, nt_arrays, dt),
+                u0)
 
     zps, per = _marginal(f, nz, 10, 110, repeat)
     return dict(config=f"amrsand_d{depth}b{bs}", zones=nz, zps=zps,

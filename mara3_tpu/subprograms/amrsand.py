@@ -86,13 +86,41 @@ def _advance(u0, dxb, nt_arrays, dt: float):
     return u0 - (lx + ly) * dt / dxb[:, None, None, None]
 
 
+_GUARD_MATS_CACHE = {}
+
+
+def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
+    """num_steps upwind steps. On TPU: ONE VMEM-resident Pallas launch
+    with the guard exchange as exact one-hot matmuls
+    (kernels/amrsand_step.py — the jnp path is dispatch-bound at ~0.39
+    ms/step for an ~11 MB state); elsewhere the jnp _advance loop."""
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu"
+    if kernel:
+        from mara3_tpu.kernels import amrsand_step
+        bs = u0.shape[1]
+        key = (id(nt), bs, str(u0.dtype))
+        if key not in _GUARD_MATS_CACHE:
+            Bp = -(-u0.shape[0] // 8) * 8
+            _GUARD_MATS_CACHE.clear()      # one live tree at a time
+            _GUARD_MATS_CACHE[key] = amrsand_step.build_guard_mats(
+                nt, bs, Bp, np.dtype(u0.dtype).type)
+        return amrsand_step.advance_n_pallas(
+            u0, dxb, _GUARD_MATS_CACHE[key], float(dt), num_steps,
+            interpret=kernel == "interpret")
+    nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
+                 nt.fine_id)
+    u = u0
+    for _ in range(num_steps):
+        u = _advance(u, dxb, nt_arrays, dt)
+    return u
+
+
 def next_solution(state: Solution, nt, dxb) -> Solution:
     bs = state.conserved.shape[1]
     depth = tree.tree_depth(state.leaves)
     dt = 2.0 / bs / (1 << depth)   # subprog_amrsand.cpp:244-245
-    nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
-                 nt.fine_id)
-    u1 = _advance(state.conserved, dxb, nt_arrays, dt)
+    u1 = advance_n(state.conserved, dxb, nt, dt, 1)
     return replace(state, iteration=state.iteration + 1,
                    time=state.time + dt, conserved=u1)
 

@@ -231,6 +231,44 @@ def test_amrsand_blob_advects():
     np.testing.assert_allclose(c1[1] - c0[1], 0.5 * state.time, rtol=0.1)
 
 
+def test_amrsand_fused_kernel_matches_advance():
+    """kernels/amrsand_step.advance_n_pallas (whole mesh VMEM-resident,
+    guard exchange as exact one-hot matmuls, G steps per launch,
+    interpret mode) vs the jnp _advance iterated — on a tree with live
+    level jumps so all three guard cases (same / coarse / fine) fire."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.kernels import amrsand_step
+    from mara3_tpu.subprograms import amrsand
+
+    cfg = (amrsand.config_template().create()
+           .update({"depth": 3, "block_size": 8}))
+    state = amrsand.new_solution(cfg)
+    nt = block_layout.build_neighbor_table(state.leaves)
+    assert (np.asarray(nt.case) == 1).any() and \
+        (np.asarray(nt.case) == 2).any()          # live level jumps
+    bs = 8
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves, bs))
+    depth = 3
+    dt = 2.0 / bs / (1 << depth)
+    nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
+                 nt.fine_id)
+    nsteps = 5
+
+    expected = state.conserved
+    for _ in range(nsteps):
+        expected = amrsand._advance(expected, dxb, nt_arrays, dt)
+
+    B = state.conserved.shape[0]
+    Bp = -(-B // 8) * 8
+    mats = amrsand_step.build_guard_mats(nt, bs, Bp, np.float64)
+    with pltpu.force_tpu_interpret_mode():
+        got = amrsand_step.advance_n_pallas(
+            state.conserved, dxb, mats, dt, nsteps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-13, atol=1e-15)
+
+
 def test_get_cell_block_three_cases():
     """API parity with mara::get_cell_block (mesh_tree_operators.hpp:
     223-252): same-level leaf, prolonged parent quadrant, coarsened
