@@ -94,7 +94,8 @@ def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
     with the guard exchange as exact one-hot matmuls
     (kernels/amrsand_step.py — the jnp path is dispatch-bound at ~0.39
     ms/step for an ~11 MB state); elsewhere the jnp _advance loop."""
-    if kernel is None:
+    auto = kernel is None
+    if auto:
         kernel = jax.default_backend() == "tpu"
     if kernel:
         from mara3_tpu.kernels import amrsand_step
@@ -105,9 +106,14 @@ def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
             _GUARD_MATS_CACHE.clear()      # one live tree at a time
             _GUARD_MATS_CACHE[key] = amrsand_step.build_guard_mats(
                 nt, bs, Bp, np.dtype(u0.dtype).type)
-        return amrsand_step.advance_n_pallas(
-            u0, dxb, _GUARD_MATS_CACHE[key], float(dt), num_steps,
-            interpret=kernel == "interpret")
+        try:
+            return amrsand_step.advance_n_pallas(
+                u0, dxb, _GUARD_MATS_CACHE[key], float(dt), num_steps,
+                interpret=kernel == "interpret")
+        except Exception:
+            if not auto:
+                raise                     # explicit request: surface it
+            print("amrsand: fused kernel unavailable, using the jnp path")
     nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
                  nt.fine_id)
     u = u0

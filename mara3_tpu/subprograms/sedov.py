@@ -291,16 +291,22 @@ def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
     num_steps (kernels/sedov_step.py — the jnp loop is launch-bound at
     these sizes); otherwise a fused lax.fori_loop. kernel=True/False
     overrides the auto-selection (tested equivalent in interpret mode)."""
-    if kernel is None:
+    auto = kernel is None
+    if auto:
         kernel = (jax.default_backend() == "tpu"
                   and reconstruct in ("pcm", "plm", "weno5")
                   and u0.shape[0] % 128 == 0)
     if kernel:
         from mara3_tpu.kernels import sedov_step
-        return sedov_step.advance_n_pallas(
-            u0, vertices, float(dt), num_steps, reconstruct, plm_theta,
-            system="euler" if newtonian else "srhd",
-            interpret=kernel == "interpret")
+        try:
+            return sedov_step.advance_n_pallas(
+                u0, vertices, float(dt), num_steps, reconstruct, plm_theta,
+                system="euler" if newtonian else "srhd",
+                interpret=kernel == "interpret")
+        except Exception:
+            if not auto:
+                raise                     # explicit request: surface it
+            print("sedov: fused kernel unavailable, using the jnp path")
     return _advance_n_jnp(u0, vertices, dt, newtonian, num_steps,
                           reconstruct, plm_theta)
 
