@@ -4,11 +4,13 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The target
 from BASELINE.json is 1e9 zone-updates/s/chip (the reference's kzps meter,
 subprog_binary.cpp:394-404, never published upstream — see BASELINE.md).
 
-Primary path: the fused v4 Pallas kernel (kernels/iso2d_step_v4.py) —
-full PLM + HLLE Godunov steps, 4 per launch, over full-width stripes with
-in-register y-periodicity; ~1.05e10 zones/s on v5e (consistent-protocol).
-Falls back to v3 then to the pure-jnp scheme if Mosaic compilation is
-unavailable (e.g. on CPU), so the benchmark always reports.
+Primary path: the fused v5 Pallas kernel (kernels/iso2d_step_v5.py) —
+full PLM + HLLE Godunov steps, the ENTIRE measured run in one launch via
+HBM ping-pong with hand double-buffered stripe DMA (v4's per-launch
+dispatch was ~19% of its 0.399 ms/step). Falls back to v4 (4 steps per
+launch, full-width stripes), then v3, then the pure-jnp scheme if Mosaic
+compilation is unavailable (e.g. on CPU), so the benchmark always
+reports.
 """
 
 from __future__ import annotations
@@ -77,6 +79,20 @@ def _measure(f, n1: int, n2: int, pairs: int = 5):
     median = rates[len(rates) // 2]
     spread = (rates[-1] - rates[0]) / median
     return median, spread
+
+
+def run_pallas_v5(u, cs2, dtdx):
+    # v5: the whole measured run in ONE launch — HBM ping-pong between
+    # padded state buffers with hand double-buffered stripe DMA — so the
+    # ~0.3 ms per-launch dispatch and the inter-launch strip build
+    # disappear entirely (they were ~19% of v4's 0.399 ms/step at G=4)
+    from mara3_tpu.kernels import iso2d_step_v5 as K
+
+    def f(n):
+        return K.advance_n_pallas_v5(u, n, cs2=cs2, dtdx=dtdx,
+                                     dtdy=dtdx, theta=1.8, TX=256)
+    zps, spread = _measure(f, 56, 4056)
+    return zps, spread, "pallas_fused_v5"
 
 
 def run_pallas(u, cs2, dtdx):
@@ -153,12 +169,15 @@ def main():
     dx = 2.0 / N
     dt = 0.4 * dx
     try:
-        zps, spread, path = run_pallas(u, cs2, dt / dx)
+        zps, spread, path = run_pallas_v5(u, cs2, dt / dx)
     except Exception:
         try:
-            zps, spread, path = run_pallas_v3(u, cs2, dt / dx)
+            zps, spread, path = run_pallas(u, cs2, dt / dx)
         except Exception:
-            zps, spread, path = run_jnp(u, cs2, dt / dx)
+            try:
+                zps, spread, path = run_pallas_v3(u, cs2, dt / dx)
+            except Exception:
+                zps, spread, path = run_jnp(u, cs2, dt / dx)
 
     print(json.dumps({
         "metric": f"zone_updates_per_second_iso2d_{N}_{path}",

@@ -1,0 +1,177 @@
+"""Fused iso2d kernel, v5: the whole RUN in one launch (HBM ping-pong).
+
+v4 (full-width stripes, G=4 steps per launch) still pays two per-launch
+costs on this runtime: the ~0.3 ms fixed Pallas dispatch (~0.075 ms/step
+at G=4 — ~19% of the measured 0.399 ms/step) and the inter-launch jnp
+halo-strip build. v5 deletes both: ALL n steps run inside a single
+launch, ping-ponging the padded state between two HBM buffers with
+hand-rolled double-buffered DMA over full-width stripe windows.
+
+Layout: padded [3, nx+16, ny] buffers whose rows 8..nx+7 are the interior
+and rows 0..7 / nx+8..nx+15 are the periodic wrap copies, so every tile's
+(TX+16)-row window at 8-aligned start j*TX covers interior rows
+j*TX-8 .. j*TX+TX+7 EXACTLY — the 2G=8-row halo of a G=4 temporally
+blocked stripe (kernels/iso2d_step_v4._step_stripe, bit-identical math).
+Each "block" = G fused steps: tiles stream through two VMEM window slots
+(pair-unrolled so every DMA uses a static slot), write the updated
+interior back to the destination buffer, and the edge tiles also write
+the destination's wrap rows; a sync boundary between blocks makes the
+next block's reads safe. y-periodicity stays in-register (lane rolls).
+
+Same arithmetic as v4/v3/the jnp scheme on every cell; redundant compute
+is the same (1 + 4G/TX) halo recompute as v4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mara3_tpu.kernels.iso2d_step_v4 import _step_stripe
+
+G = 4          # steps per block; 2G = 8 matches the sublane alignment
+H = 2 * G
+
+
+def _kernel_v5(a_ref, o1_ref, o2_ref,
+               win0, win1, out0, out1,
+               sin0, sin1, sout0, sout1, sg0, sg1,
+               *, NB2, gi, TX, nx, cs2, dtdx, dtdy, theta):
+    del a_ref                       # aliased to o2_ref (the initial state)
+
+    def in_copy(src_ref, j, w, s):
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(j * TX, TX + 2 * H)], w, s)
+
+    def out_copy(dst_ref, j, w, s):
+        return pltpu.make_async_copy(
+            w, dst_ref.at[:, pl.ds(j * TX + H, TX)], s)
+
+    def run_block(src_ref, dst_ref):
+        """G fused steps: src interior+wrap rows -> dst (incl. wraps)."""
+        in_copy(src_ref, 0, win0, sin0).start()
+        in_copy(src_ref, 1, win1, sin1).start()
+
+        def pair(t, carry):
+            j0 = 2 * t
+            j1 = j0 + 1
+
+            # ---- even tile (slot 0) ----
+            in_copy(src_ref, j0, win0, sin0).wait()
+            u1 = _advance_window(win0[...])
+
+            @pl.when(t > 0)
+            def _():
+                out_copy(dst_ref, j0 - 2, out0, sout0).wait()
+            if gi > 2:
+                # tile 0's wrap-row copy still reads out0: retire it
+                # before this overwrite (gi == 2 retires it in the
+                # epilogue instead)
+                @pl.when(t == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        out0.at[:, pl.ds(0, H)],
+                        dst_ref.at[:, pl.ds(nx + H, H)], sg0).wait()
+            out0[...] = u1
+            out_copy(dst_ref, j0, out0, sout0).start()
+
+            @pl.when(j0 == 0)
+            def _():
+                # dst hi-wrap rows nx+8..nx+15 = interior rows 0..7
+                pltpu.make_async_copy(
+                    out0.at[:, pl.ds(0, H)],
+                    dst_ref.at[:, pl.ds(nx + H, H)], sg0).start()
+
+            @pl.when(t < gi // 2 - 1)
+            def _():
+                in_copy(src_ref, j0 + 2, win0, sin0).start()
+
+            # ---- odd tile (slot 1) ----
+            in_copy(src_ref, j1, win1, sin1).wait()
+            u1 = _advance_window(win1[...])
+
+            @pl.when(t > 0)
+            def _():
+                out_copy(dst_ref, j1 - 2, out1, sout1).wait()
+            out1[...] = u1
+            out_copy(dst_ref, j1, out1, sout1).start()
+
+            @pl.when(j1 == gi - 1)
+            def _():
+                # dst lo-wrap rows 0..7 = interior rows nx-8..nx-1
+                pltpu.make_async_copy(
+                    out1.at[:, pl.ds(TX - H, H)],
+                    dst_ref.at[:, pl.ds(0, H)], sg1).start()
+
+            @pl.when(t < gi // 2 - 1)
+            def _():
+                in_copy(src_ref, j1 + 2, win1, sin1).start()
+            return carry
+
+        jax.lax.fori_loop(0, gi // 2, pair, 0)
+
+        # sync boundary: the next block reads every row written here
+        out_copy(dst_ref, gi - 2, out0, sout0).wait()
+        out_copy(dst_ref, gi - 1, out1, sout1).wait()
+        if gi == 2:
+            pltpu.make_async_copy(
+                out0.at[:, pl.ds(0, H)],
+                dst_ref.at[:, pl.ds(nx + H, H)], sg0).wait()
+        pltpu.make_async_copy(out1.at[:, pl.ds(TX - H, H)],
+                              dst_ref.at[:, pl.ds(0, H)], sg1).wait()
+
+    def _advance_window(w):
+        for _ in range(G):
+            w = _step_stripe(w, cs2, dtdx, dtdy, theta)
+        return w
+
+    def block2(_, carry):
+        run_block(o2_ref, o1_ref)      # o2 holds the current state
+        run_block(o1_ref, o2_ref)
+        return carry
+
+    jax.lax.fori_loop(0, NB2, block2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "cs2", "dtdx", "dtdy",
+                                             "theta", "TX", "interpret"))
+def advance_n_pallas_v5(u, n: int, *, cs2, dtdx, dtdy, theta=1.8,
+                        TX=256, interpret=False):
+    """n fused periodic steps on [3, nx, ny] in ONE kernel launch.
+
+    n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs);
+    nx a multiple of TX with an even tile count; TX a multiple of 8."""
+    _, nx, ny = u.shape
+    gi = nx // TX
+    assert n % (2 * G) == 0 and n > 0, n
+    assert nx % TX == 0 and gi % 2 == 0 and TX % 8 == 0, (nx, TX)
+    assert ny % 128 == 0, ny
+    dtype = u.dtype
+
+    a = jnp.concatenate([u[:, -H:], u, u[:, :H]], axis=1)
+    kernel = functools.partial(_kernel_v5, NB2=n // (2 * G), gi=gi, TX=TX,
+                               nx=nx, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
+                               theta=theta)
+    o1, o2 = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=(jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype),
+                   jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype)),
+        input_output_aliases={0: 1},
+        scratch_shapes=[
+            pltpu.VMEM((3, TX + 2 * H, ny), dtype),
+            pltpu.VMEM((3, TX + 2 * H, ny), dtype),
+            pltpu.VMEM((3, TX, ny), dtype),
+            pltpu.VMEM((3, TX, ny), dtype),
+        ] + [pltpu.SemaphoreType.DMA] * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(a)
+    return o2[:, H:nx + H]

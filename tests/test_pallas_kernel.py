@@ -202,6 +202,32 @@ def test_v4_stripes_match_scheme_and_bitmatch_v3():
                                rtol=1e-13, atol=1e-15)
 
 
+@pytest.mark.parametrize("gi", [2, 4])
+def test_v5_single_launch_run_matches_scheme(gi):
+    """v5 (whole run in one launch: HBM ping-pong, hand double-buffered
+    stripe DMA) must reproduce the jnp scheme over 16 steps — two full
+    ping-pong rounds, so both buffer roles, the wrap-row maintenance,
+    and every pipeline phase (preamble / steady state / epilogue) run.
+    gi=2 and gi=4 cover both wrap-wait paths."""
+    import mara3_tpu.kernels.iso2d_step_v5 as K5
+
+    TX = 32
+    nx, ny = TX * gi, 128
+    u = random_state(nx, ny)
+    cs2, dx, dt, theta = 0.1, 2.0 / nx, 2e-4, 1.8
+    expected = u
+    for _ in range(16):
+        expected = iso2d_grid.step_periodic_uniform(expected, cs2, dx, dx,
+                                                    dt, theta)
+    usoa = jnp.moveaxis(u, -1, 0)
+    with pltpu.force_tpu_interpret_mode():
+        got = K5.advance_n_pallas_v5(usoa, 16, cs2=cs2, dtdx=dt / dx,
+                                     dtdy=dt / dx, theta=theta, TX=TX,
+                                     interpret=True)
+    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
+                               rtol=1e-12, atol=1e-13)
+
+
 @pytest.mark.parametrize("conserve_p", [True, False])
 @pytest.mark.parametrize("reconstruct", ["plm", "pcm"])
 @pytest.mark.parametrize("variant", [True, "jnp_strips"])
