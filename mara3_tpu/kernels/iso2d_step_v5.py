@@ -37,10 +37,10 @@ G = 4          # steps per block; 2G = 8 matches the sublane alignment
 H = 2 * G
 
 
-def _kernel_v5(a_ref, o1_ref, o2_ref,
+def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
                win0, win1, out0, out1,
                sin0, sin1, sout0, sout1, sg0, sg1,
-               *, NB2, gi, TX, nx, cs2, dtdx, dtdy, theta):
+               *, gi, TX, nx, cs2, dtdx, dtdy, theta):
     del a_ref                       # aliased to o2_ref (the initial state)
 
     def in_copy(src_ref, j, w, s):
@@ -134,44 +134,52 @@ def _kernel_v5(a_ref, o1_ref, o2_ref,
         run_block(o1_ref, o2_ref)
         return carry
 
-    jax.lax.fori_loop(0, NB2, block2, 0)
+    # dynamic trip count: one Mosaic compile serves every step count
+    jax.lax.fori_loop(0, nb2_ref[0], block2, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cs2", "dtdx", "dtdy",
+@functools.partial(jax.jit, static_argnames=("cs2", "dtdx", "dtdy",
                                              "theta", "TX", "interpret"))
-def advance_n_pallas_v5(u, n: int, *, cs2, dtdx, dtdy, theta=1.8,
+def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
                         TX=256, interpret=False):
     """n fused periodic steps on [3, nx, ny] in ONE kernel launch.
 
-    n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs);
-    nx a multiple of TX with an even tile count; TX a multiple of 8."""
+    n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
+    and may be a TRACED value — the block count rides a scalar-prefetch
+    operand, so one compile serves every step count; nx a multiple of TX
+    with an even tile count; TX a multiple of 8."""
     _, nx, ny = u.shape
     gi = nx // TX
-    assert n % (2 * G) == 0 and n > 0, n
+    if isinstance(n, int):
+        assert n % (2 * G) == 0 and n > 0, n
     assert nx % TX == 0 and gi % 2 == 0 and TX % 8 == 0, (nx, TX)
     assert ny % 128 == 0, ny
     dtype = u.dtype
 
     a = jnp.concatenate([u[:, -H:], u, u[:, :H]], axis=1)
-    kernel = functools.partial(_kernel_v5, NB2=n // (2 * G), gi=gi, TX=TX,
+    nb2 = jnp.asarray(n, jnp.int32).reshape(1) // (2 * G)
+    kernel = functools.partial(_kernel_v5, gi=gi, TX=TX,
                                nx=nx, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
                                theta=theta)
     o1, o2 = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+            scratch_shapes=[
+                pltpu.VMEM((3, TX + 2 * H, ny), dtype),
+                pltpu.VMEM((3, TX + 2 * H, ny), dtype),
+                pltpu.VMEM((3, TX, ny), dtype),
+                pltpu.VMEM((3, TX, ny), dtype),
+            ] + [pltpu.SemaphoreType.DMA] * 6,
+        ),
         out_shape=(jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype),
                    jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype)),
-        input_output_aliases={0: 1},
-        scratch_shapes=[
-            pltpu.VMEM((3, TX + 2 * H, ny), dtype),
-            pltpu.VMEM((3, TX + 2 * H, ny), dtype),
-            pltpu.VMEM((3, TX, ny), dtype),
-            pltpu.VMEM((3, TX, ny), dtype),
-        ] + [pltpu.SemaphoreType.DMA] * 6,
+        input_output_aliases={1: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(a)
+    )(nb2, a)
     return o2[:, H:nx + H]
