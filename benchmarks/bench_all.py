@@ -76,7 +76,7 @@ def bench_advect(repeat):
                 ms_per_step=per * 1e3)
 
 
-def bench_sedov(repeat, newtonian=1):
+def bench_sedov(repeat, newtonian=1, kernel=None):
     from mara3_tpu.subprograms import sedov
     cfg = sedov.config_template().create().update(
         {"nr": 262144, "newtonian": newtonian})
@@ -86,11 +86,13 @@ def bench_sedov(repeat, newtonian=1):
 
     def f(n):
         return sedov.advance_n(state.conserved, state.vertices, dt,
-                               bool(newtonian), n)
+                               bool(newtonian), n, kernel=kernel)
 
+    name = "sedov_euler" if newtonian else "sedov_srhd"
+    if kernel is False:
+        name += "_jnp"
     zps, per = _marginal(f, nz, 10, 110, repeat)
-    return dict(config="sedov_euler" if newtonian else "sedov_srhd",
-                zones=nz, zps=zps, ms_per_step=per * 1e3)
+    return dict(config=name, zones=nz, zps=zps, ms_per_step=per * 1e3)
 
 
 def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
@@ -185,6 +187,7 @@ def bench_amrsand(repeat):
 BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                binary7=lambda repeat: bench_binary(repeat, depth=7),
                sedov_srhd=lambda repeat: bench_sedov(repeat, newtonian=0),
+               sedov_jnp=lambda repeat: bench_sedov(repeat, kernel=False),
                cloud=bench_cloud, amrsand=bench_amrsand)
 
 
