@@ -226,12 +226,20 @@ def _read_fraction(group, name):
     return Fraction(num, den)
 
 
+def _write_scalar(group, name, value):
+    # overwrite semantics, consistent with the str/Fraction writers and
+    # the array fallback (h5py raises on assigning over an existing name)
+    if name in group:
+        del group[name]
+    group[name] = value
+
+
 register_type(str, _write_str, lambda g, n: g[n][()].decode())
-register_type(bool, lambda g, n, v: g.__setitem__(n, np.bool_(v)),
+register_type(bool, lambda g, n, v: _write_scalar(g, n, np.bool_(v)),
               lambda g, n: bool(g[n][()]))
-register_type(int, lambda g, n, v: g.__setitem__(n, np.int64(v)),
+register_type(int, lambda g, n, v: _write_scalar(g, n, np.int64(v)),
               lambda g, n: int(g[n][()]))
-register_type(float, lambda g, n, v: g.__setitem__(n, np.float64(v)),
+register_type(float, lambda g, n, v: _write_scalar(g, n, np.float64(v)),
               lambda g, n: float(g[n][()]))
 register_type(Config, _write_config,
               lambda g, n: read_config(g[n]))

@@ -147,7 +147,12 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
     and may be a TRACED value — the block count rides a scalar-prefetch
     operand, so one compile serves every step count; nx a multiple of TX
-    with an even tile count; TX a multiple of 8."""
+    with an even tile count; TX a multiple of 8.
+
+    A TRACED n cannot be validated at trace time: it is floor-divided by
+    2G, so a traced n that is NOT a multiple of 8 silently runs
+    ``(n // 8) * 8`` steps. Callers passing traced step counts must
+    pre-round to a multiple of 8 (bench.py does)."""
     _, nx, ny = u.shape
     gi = nx // TX
     if isinstance(n, int):

@@ -98,6 +98,15 @@ class Request:
         self.wait()
         return self._result[0] if self._result else b""
 
+    def cancel(self):
+        """Cancel-and-null the request (mpi::Request cancel-on-drop,
+        core_mpi.hpp:160-175). A completed request's payload is dropped;
+        an in-flight send thread is detached (socket sends cannot be
+        recalled, matching MPI_Cancel's best-effort semantics for sends).
+        After cancel() the request is null."""
+        self._thread = None
+        self._result = []
+
 
 def default_addresses(size: int, host: str = "127.0.0.1",
                       base_port: int = _DEFAULT_BASE_PORT
@@ -208,6 +217,8 @@ class Mailbox:
                 if hit is not None:
                     s, t, payload = hit
                     return Status(len(payload), s, t, null=False)
+                if self._closed:
+                    raise OSError("mailbox closed")
                 if not self._cond.wait(timeout=timeout):
                     raise TimeoutError("probe timed out")
 
@@ -220,6 +231,8 @@ class Mailbox:
                 hit = self._match(source, tag, pop=True)
                 if hit is not None:
                     return hit[2]
+                if self._closed:
+                    raise OSError("mailbox closed")
                 if not self._cond.wait(timeout=timeout):
                     raise TimeoutError("recv timed out")
 
@@ -262,6 +275,7 @@ class Mailbox:
     def close(self):
         with self._cond:
             self._closed = True
+            self._cond.notify_all()   # wake blocked recv/probe callers
         try:
             self._listener.close()
         except OSError:

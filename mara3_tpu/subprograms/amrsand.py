@@ -15,6 +15,7 @@ thread pool instead (core_tree.hpp:615-639).
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, replace
 from functools import partial
 
@@ -100,7 +101,14 @@ def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
     if kernel:
         from mara3_tpu.kernels import amrsand_step
         bs = u0.shape[1]
-        key = (id(nt), bs, str(u0.dtype))
+        # Key on tree CONTENT (not id(nt): a freed table's id can be
+        # reused by a new tree with the same block count, silently
+        # serving stale guard matrices).
+        tree_digest = hashlib.sha1(b"".join(
+            np.ascontiguousarray(a).tobytes()
+            for a in (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
+                      nt.fine_id))).hexdigest()
+        key = (tree_digest, bs, str(u0.dtype))
         if key not in _GUARD_MATS_CACHE:
             Bp = -(-u0.shape[0] // 8) * 8
             _GUARD_MATS_CACHE.clear()      # one live tree at a time
