@@ -92,7 +92,8 @@ def bench_sedov(repeat, newtonian=1, kernel=None):
     if kernel is False:
         name += "_jnp"
     zps, per = _marginal(f, nz, 10, 110, repeat)
-    return dict(config=name, zones=nz, zps=zps, ms_per_step=per * 1e3)
+    return dict(config=name, zones=nz, zps=zps, ms_per_step=per * 1e3,
+                path=sedov.LAST_PATH)
 
 
 def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
@@ -113,7 +114,8 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
 
     zps, per = _marginal(f, nz, 5, 45, repeat)
     return dict(config=f"binary_d{depth}b{block_size}_rk{rk_order}",
-                zones=nz, zps=zps, ms_per_step=per * 1e3)
+                zones=nz, zps=zps, ms_per_step=per * 1e3,
+                path="pallas:binary_advance+fast_scan")
 
 
 def bench_cloud(repeat):
@@ -147,7 +149,7 @@ def bench_cloud(repeat):
 
     zps, per = _marginal(f, nz, 5, 45, repeat)
     return dict(config="cloud_srhd_1024", zones=nz, zps=zps,
-                ms_per_step=per * 1e3)
+                ms_per_step=per * 1e3, path=cloud.LAST_RK_PATH)
 
 
 def bench_amrsand(repeat):
@@ -172,16 +174,18 @@ def bench_amrsand(repeat):
         # ONE VMEM-resident launch for all n steps (kernels/amrsand_step)
         def f(n: int):
             return amrsand.advance_n(u0, dxb, nt, dt, n)
+        path = lambda: amrsand.LAST_PATH          # noqa: E731
     else:
         @partial(jax.jit, static_argnames=("n",))
         def f(n: int):
             return jax.lax.fori_loop(
                 0, n, lambda _, u: amrsand._advance(u, dxb, nt_arrays, dt),
                 u0)
+        path = lambda: "jnp:fori_loop(_advance)"  # noqa: E731
 
     zps, per = _marginal(f, nz, 10, 110, repeat)
     return dict(config=f"amrsand_d{depth}b{bs}", zones=nz, zps=zps,
-                ms_per_step=per * 1e3)
+                ms_per_step=per * 1e3, path=path())
 
 
 BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,

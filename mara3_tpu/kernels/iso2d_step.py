@@ -43,7 +43,16 @@ def _plm(yl, y0, yr, theta):
 
 
 def _sign_mask(dtype):
+    if dtype == jnp.bfloat16 or dtype == jnp.float16:
+        return jnp.int16(-2**15)
     return jnp.int32(-2**31) if dtype == jnp.float32 else jnp.int64(-2**63)
+
+
+def _int_twin(dtype):
+    """Same-width signed integer type for sign-bit bitcasts."""
+    if dtype == jnp.bfloat16 or dtype == jnp.float16:
+        return jnp.int16
+    return jnp.int32 if dtype == jnp.float32 else jnp.int64
 
 
 def _plm_half(yl, y0, yr, theta):
@@ -57,7 +66,7 @@ def _plm_half(yl, y0, yr, theta):
     a = (y0 - yl) * (0.5 * theta)
     b = (yr - yl) * 0.25
     c = (yr - y0) * (0.5 * theta)
-    idt = jnp.int32 if a.dtype == jnp.float32 else jnp.int64
+    idt = _int_twin(a.dtype)
     ia = jax.lax.bitcast_convert_type(a, idt)
     ib = jax.lax.bitcast_convert_type(b, idt)
     ic = jax.lax.bitcast_convert_type(c, idt)

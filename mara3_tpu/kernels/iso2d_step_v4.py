@@ -99,18 +99,21 @@ def build_x_strips(u, TX: int, h: int):
     return lo, hi
 
 
-@functools.partial(jax.jit, static_argnames=("TX", "G", "theta", "cs2",
-                                             "dtdx", "dtdy"))
-def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
-                   theta: float = 1.8, TX: int = 512):
-    """G fused periodic steps on [3, nx, ny]."""
+def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
+                          dtdy: float, theta: float = 1.8, TX: int = 512,
+                          interpret: bool = False):
+    """G fused steps on [3, nx, ny] with CALLER-BUILT x-halo strips
+    lo/hi [gi, 3, 2G, ny] (stripe i's rows below/above). The distributed
+    path (parallel/iso2d_sharded.py) fills the shard-edge strips from
+    ppermute'd neighbor rows; the single-device wrapper below fills them
+    periodically."""
     _, nx, ny = u.shape
     assert nx % TX == 0 and ny % 128 == 0
     gi = nx // TX
     h = 2 * G
     assert h <= TX
+    assert lo.shape == hi.shape == (gi, 3, h, ny), (lo.shape, gi, h, ny)
 
-    lo, hi = build_x_strips(u, TX, h)
     kernel = functools.partial(_kernel_v4, G=G, cs2=cs2, dtdx=dtdx,
                                dtdy=dtdy, theta=theta)
     strip_spec = pl.BlockSpec((1, 3, h, ny), lambda i: (i, 0, 0, 0),
@@ -126,7 +129,20 @@ def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
         out_shape=jax.ShapeDtypeStruct((3, nx, ny), u.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(u, lo, hi)
+
+
+@functools.partial(jax.jit, static_argnames=("TX", "G", "theta", "cs2",
+                                             "dtdx", "dtdy", "interpret"))
+def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
+                   theta: float = 1.8, TX: int = 512,
+                   interpret: bool = False):
+    """G fused periodic steps on [3, nx, ny]."""
+    lo, hi = build_x_strips(u, TX, 2 * G)
+    return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
+                                 dtdy=dtdy, theta=theta, TX=TX,
+                                 interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "G", "cs2", "dtdx",

@@ -88,6 +88,7 @@ def _advance(u0, dxb, nt_arrays, dt: float):
 
 
 _GUARD_MATS_CACHE = {}
+LAST_PATH = "unset"   # executed-path attribution for benchmark artifacts
 
 
 def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
@@ -95,6 +96,7 @@ def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
     with the guard exchange as exact one-hot matmuls
     (kernels/amrsand_step.py — the jnp path is dispatch-bound at ~0.39
     ms/step for an ~11 MB state); elsewhere the jnp _advance loop."""
+    global LAST_PATH
     auto = kernel is None
     if auto:
         kernel = jax.default_backend() == "tpu"
@@ -115,13 +117,16 @@ def advance_n(u0, dxb, nt, dt: float, num_steps: int, kernel=None):
             _GUARD_MATS_CACHE[key] = amrsand_step.build_guard_mats(
                 nt, bs, Bp, np.dtype(u0.dtype).type)
         try:
-            return amrsand_step.advance_n_pallas(
+            out = amrsand_step.advance_n_pallas(
                 u0, dxb, _GUARD_MATS_CACHE[key], float(dt), num_steps,
                 interpret=kernel == "interpret")
+            LAST_PATH = "pallas:amrsand_step"
+            return out
         except Exception:
             if not auto:
                 raise                     # explicit request: surface it
             print("amrsand: fused kernel unavailable, using the jnp path")
+    LAST_PATH = "jnp"
     nt_arrays = (nt.case, nt.same_id, nt.coarse_id, nt.coarse_half,
                  nt.fine_id)
     u = u0

@@ -503,9 +503,14 @@ def _advance_once_soa(us, t, geometry, jet_static, dt, plm_theta, method,
     return jnp.moveaxis(u1, -1, 0), Pt[4]
 
 
+LAST_RK_PATH = "unset"   # executed-path attribution for bench artifacts
+                         # (trace-time selection: no silent runtime fallback)
+
+
 def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
                           plm_theta, method, temperature_floor, rk_order,
                           fused=None):
+    global LAST_RK_PATH
     rc = ops.midpoint_on_axis(rv)
     qc = ops.midpoint_on_axis(qv)
     geometry = (rv, qv, rc, qc, cell_volumes(rv, qv),
@@ -514,6 +519,9 @@ def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
     if fused is None:
         fused = (jax.default_backend() == "tpu" and nq_ % 128 == 0
                  and _pick_tx(nr_) is not None)
+    LAST_RK_PATH = ("pallas:cloud_update.fused_step_rk2"
+                    if rk_order == 2 and fused else
+                    "pallas:cloud_update.fused_stage" if fused else "jnp")
 
     if rk_order == 2 and fused:
         # BOTH stages (with the in-kernel Newton warm-start chain) in ONE

@@ -283,6 +283,9 @@ def _advance_n_jnp(u0, vertices, dt, newtonian: bool, num_steps: int,
     return jax.lax.fori_loop(0, num_steps, body, u0)
 
 
+LAST_PATH = "unset"   # executed-path attribution for benchmark artifacts
+
+
 def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
               reconstruct: str = "pcm", plm_theta: float = 1.5,
               kernel=None):
@@ -296,17 +299,21 @@ def advance_n(u0, vertices, dt, newtonian: bool, num_steps: int,
         kernel = (jax.default_backend() == "tpu"
                   and reconstruct in ("pcm", "plm", "weno5")
                   and u0.shape[0] % 128 == 0)
+    global LAST_PATH
     if kernel:
         from mara3_tpu.kernels import sedov_step
         try:
-            return sedov_step.advance_n_pallas(
+            out = sedov_step.advance_n_pallas(
                 u0, vertices, float(dt), num_steps, reconstruct, plm_theta,
                 system="euler" if newtonian else "srhd",
                 interpret=kernel == "interpret")
+            LAST_PATH = "pallas:sedov_step"
+            return out
         except Exception:
             if not auto:
                 raise                     # explicit request: surface it
             print("sedov: fused kernel unavailable, using the jnp path")
+    LAST_PATH = "jnp"
     return _advance_n_jnp(u0, vertices, dt, newtonian, num_steps,
                           reconstruct, plm_theta)
 

@@ -382,3 +382,27 @@ def test_li_temporal_blocking_matches_sequential():
                                       tile=(64, 128))
     np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
                                rtol=1e-6, atol=1e-9)
+
+
+def test_v4_bfloat16_runs_and_tracks_f32():
+    """The v4 kernel is dtype-generic down to bf16 (the bf16/mixed-
+    precision ceiling trial, benchmarks/bench_bf16_trial.py): the
+    sign-bit minmod bitcasts to the same-width int16 twin, and the bf16
+    state must track f32 at the bf16 resolution (~6e-3 relative after 8
+    steps on this rough random field; accept/reject on TPU throughput +
+    drift data per PRECISION.md)."""
+    import mara3_tpu.kernels.iso2d_step_v4 as K4
+
+    nx, ny = 128, 128
+    u32 = jnp.moveaxis(random_state(nx, ny).astype(jnp.float32), -1, 0)
+    u16 = u32.astype(jnp.bfloat16)
+    kw = dict(G=4, cs2=0.1, dtdx=1e-4 * nx / 2, dtdy=1e-4 * nx / 2,
+              theta=1.8, TX=64)
+    with pltpu.force_tpu_interpret_mode():
+        o32 = K4.advance_n_pallas_v4(u32, 8, **kw)
+        o16 = K4.advance_n_pallas_v4(u16, 8, **kw)
+    assert o16.dtype == jnp.bfloat16
+    a32 = np.asarray(o32, np.float64)
+    a16 = np.asarray(o16, np.float64)
+    rel = np.sum(np.abs(a16 - a32)) / np.sum(np.abs(a32))
+    assert np.isfinite(rel) and rel < 2e-2, rel
