@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# the axon TPU plugin ignores the JAX_PLATFORMS env var; the config API wins
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("MARA3_TPU_SMOKE") == "1":
+    # hardware smoke mode (tests/test_tpu_smoke.py): keep the real TPU
+    # backend and its f32 default — everything else skips itself
+    pass
+else:
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+    # API wins
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,81 @@
+"""TPU hardware smoke tests: the fused kernels must COMPILE on the chip.
+
+VERDICT r3 weak #4: the sedov/amrsand auto-selection falls back to the
+jnp path on any compile exception with only a printed notice, so a bench
+run whose Mosaic compile fails could silently report jnp rates. These
+tests pass kernel=True (explicit request: exceptions surface, no
+fallback) so a kernel regression fails LOUDLY here instead of silently
+skewing a benchmark.
+
+They run only when the active backend is a real TPU — under the CPU test
+conftest they skip (run via `python -m pytest tests/test_tpu_smoke.py`
+WITHOUT the conftest platform override, i.e. MARA3_TPU_SMOKE=1).
+Budget: each fused-kernel first compile is minutes through the tunnel
+(CLAUDE.md); run detached, serialized with other TPU jobs.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware smoke test: needs a real TPU backend")
+
+
+def test_sedov_fused_kernel_compiles_on_tpu():
+    from mara3_tpu.subprograms import sedov
+    cfg = sedov.config_template().create().update({"nr": 1024})
+    state = sedov.new_solution(cfg)
+    dt = sedov.grid_dt(state.vertices)
+    u32 = jnp.asarray(state.conserved, jnp.float32)
+    v32 = jnp.asarray(state.vertices, jnp.float32)
+    out = sedov.advance_n(u32, v32, dt, True, 2, kernel=True)
+    assert sedov.LAST_PATH == "pallas:sedov_step"
+    assert np.isfinite(float(jnp.sum(out)))
+
+
+def test_amrsand_fused_kernel_compiles_on_tpu():
+    from mara3_tpu.mesh import block_layout
+    from mara3_tpu.subprograms import amrsand
+    cfg = amrsand.config_template().create().update(
+        {"depth": 4, "block_size": 64})
+    state = amrsand.new_solution(cfg)
+    nt = block_layout.build_neighbor_table(state.leaves)
+    dxb = jnp.asarray(block_layout.block_dx(state.leaves, 64), jnp.float32)
+    u0 = jnp.asarray(state.conserved, jnp.float32)
+    out = amrsand.advance_n(u0, dxb, nt, 1e-4, 2, kernel=True)
+    assert amrsand.LAST_PATH == "pallas:amrsand_step"
+    assert np.isfinite(float(jnp.sum(out)))
+
+
+def test_v5_single_launch_compiles_on_tpu():
+    from mara3_tpu.kernels import iso2d_step_v5 as K5
+    N = 512
+    x = jnp.linspace(-1, 1, N, dtype=jnp.float32)[:, None]
+    sigma = 1.0 + 0.5 * jnp.exp(-(x ** 2 + x.T ** 2) / 0.1)
+    u = jnp.stack([sigma, 0.0 * sigma, 0.0 * sigma], axis=0)
+    out = K5.advance_n_pallas_v5(u, 8, cs2=0.1, dtdx=1e-2, dtdy=1e-2,
+                                 TX=256)
+    assert np.isfinite(float(jnp.sum(out)))
+
+
+def test_cloud_fused_rk2_compiles_on_tpu():
+    from mara3_tpu.subprograms import cloud
+    cfg = cloud.config_template().create().update({"nr": 256})
+    state = cloud.new_solution(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet = cloud.make_jet_nozzle_model(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(state.radial_vertices[1] - state.radial_vertices[0]) * 0.3
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    p0 = jnp.zeros(us.shape[1:], jnp.float32)
+    u1, p1 = cloud._advance_rk_carry_soa(
+        us, p0, state.time, state.radial_vertices, state.polar_vertices,
+        jet_static, dt, 1.5, 2, 1e-6, 2, fused=True)
+    assert cloud.LAST_RK_PATH == "pallas:cloud_update.fused_step_rk2"
+    assert np.isfinite(float(jnp.sum(u1)))
