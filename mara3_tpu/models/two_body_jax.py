@@ -12,8 +12,10 @@ Representations:
   bodies    [2, 5] rows (mass, x, y, vx, vy) — the scheme's bodies array.
 
 Differences from the host path, by design:
-  - Kepler's Newton iteration is a bounded lax.while_loop (<=64 steps at
-    1e-10, vs the reference's unbounded loop, model_two_body.hpp:131-160).
+  - Kepler's Newton iteration is a FIXED-count unrolled chain (10
+    updates from a series starter, machine-precision for e <= 0.95) vs
+    the reference's unbounded tolerance loop (model_two_body.hpp:131-160)
+    — a while_loop costs 0.1-0.2 ms of dispatch+sync per pass here.
   - compute_orbital_elements cannot throw on unbound orbits
     (model_two_body.hpp:294-402 throws); an unbound state yields NaN in
     the recorded perturbation diagnostics instead.
@@ -50,29 +52,26 @@ def orbital_period(e10):
     return 2 * jnp.pi / jnp.sqrt(e10[M] / e10[A] ** 3)
 
 
+KEPLER_ITERS = 10
+
+
 def _solve_kepler(ecc, M_anom):
-    """E - e sin E = M by Newton (model_two_body.hpp:131-160), bounded.
+    """E - e sin E = M by Newton (model_two_body.hpp:131-160).
 
-    4 Newton updates per while pass. Results match the reference's
-    one-update-per-check loop within the 1e-10 stopping tolerance (up to 3
-    extra Newton updates can land after the bound is first met, shifting
-    the answer at the tolerance level; Newton on Kepler is quadratic so
-    typically one pass suffices anyway): each while iteration is a
-    dispatched kernel + loop sync on TPU, and the fast flagship step runs
-    this scalar solve several times per step."""
-    def cond(carry):
-        x, it = carry
-        return jnp.logical_and(jnp.abs(x - ecc * jnp.sin(x) - M_anom) > 1e-10,
-                               it < 64)
-
-    def body(carry):
-        x, it = carry
-        for _ in range(4):
-            y = x - ecc * jnp.sin(x) - M_anom
-            x = x - y / (1.0 - ecc * jnp.cos(x))
-        return x, it + 4
-
-    x, _ = jax.lax.while_loop(cond, body, (M_anom, 0))
+    FIXED-count unrolled Newton instead of a tolerance while_loop: on
+    this runtime every scalar lax.while_loop pass costs 0.1-0.2 ms of
+    kernel dispatch + loop sync (round-2 finding), and the fast flagship
+    step runs this solve 2-3 times per step — the unrolled chain fuses
+    into one scalar kernel with no sync. The series starter
+    x0 = M + e sin M + (e^2/2) sin 2M puts Newton in its quadratic
+    basin for e <~ 0.95, so 10 updates land at machine precision —
+    within the reference loop's 1e-10 stopping tolerance of its answer
+    (accuracy swept over (e, M) in tests/test_models.py)."""
+    x = M_anom + ecc * jnp.sin(M_anom) \
+        + 0.5 * ecc * ecc * jnp.sin(2.0 * M_anom)
+    for _ in range(KEPLER_ITERS):
+        y = x - ecc * jnp.sin(x) - M_anom
+        x = x - y / (1.0 - ecc * jnp.cos(x))
     return x
 
 

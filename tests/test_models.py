@@ -130,3 +130,21 @@ def test_jet_nozzle():
     assert Lq < L0 and Lt < L0
     np.testing.assert_allclose(Lq / L0, math.exp(-4.0), rtol=1e-10)
     np.testing.assert_allclose(Lt / L0, math.exp(-2.0), rtol=1e-10)
+
+
+def test_traced_kepler_fixed_newton_accuracy_sweep():
+    """The unrolled fixed-count Kepler Newton (two_body_jax._solve_kepler)
+    must satisfy E - e sin E = M at machine precision over the whole
+    (e, M) plane the flagship can visit."""
+    import numpy as np
+
+    from mara3_tpu.models import two_body_jax as tbj
+
+    ecc = np.linspace(0.0, 0.95, 20)
+    M = np.linspace(0.0, 2 * np.pi, 37)
+    ee, MM = np.meshgrid(ecc, M)
+    E = np.vectorize(
+        lambda e, m: float(tbj._solve_kepler(jnp.float64(e),
+                                             jnp.float64(m))))(ee, MM)
+    resid = np.abs(E - ee * np.sin(E) - MM)
+    assert resid.max() < 1e-12, resid.max()
