@@ -236,7 +236,24 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
     """Everything after the guard-extended assembly: positions, fluxes,
     sources, conservative update, accounting totals. Shared by the
     strips-input kernel (_kernel) and the in-kernel-guard kernel
-    (_kernel2)."""
+    (_kernel2); the multi-step kernel (binary_multi.py) uses the
+    value-returning core below."""
+    u1, fxlo, fxhi, fylo, fyhi, contrib = _main_update_vals(
+        pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref[...],
+        init_ref[...], sp, mask, cfg_tuple, cfg_flux, buffer_cfg)
+    fxlo_ref[...] = fxlo
+    fxhi_ref[...] = fxhi
+    fylo_ref[...] = fylo
+    fyhi_ref[...] = fyhi
+    u1_ref[...] = u1
+    totals_ref[0] = contrib
+
+
+def _main_update_vals(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo,
+                      init, sp, mask, cfg_tuple, cfg_flux, buffer_cfg):
+    """Value-returning core of _main_update: (u1, fxlo, fxhi, fylo, fyhi,
+    totals_contrib [16, 128]). `bodies_ref` is anything scalar-indexable
+    as bodies_ref[k, j] (an SMEM ref or a value wrapper)."""
     (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
      floor, gst2) = cfg_tuple
     buffer_damping_rate, buffer_radius = buffer_cfg
@@ -245,7 +262,6 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
     # arrays cost 6 floats/cell of HBM traffic and 3 DMA streams/step)
     bs = p.shape[2]
     dtype = p.dtype
-    geo = geo_ref[...]                   # [K, 1, 3]: x0, y0, dx
     gx0 = geo[:, :, 0][..., None]        # [K, 1, 1]
     gy0 = geo[:, :, 1][..., None]
     gdx = geo[:, :, 2][..., None]
@@ -278,10 +294,10 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
 
     # positive static indices only: negative ints lower via dynamic_slice,
     # which Mosaic does not implement
-    fxlo_ref[...] = fx[:, :, 0]
-    fxhi_ref[...] = fx[:, :, fx.shape[2] - 1]
-    fylo_ref[...] = fy[:, :, :, 0]
-    fyhi_ref[...] = fy[:, :, :, fy.shape[3] - 1]
+    fxlo = fx[:, :, 0]
+    fxhi = fx[:, :, fx.shape[2] - 1]
+    fylo = fy[:, :, :, 0]
+    fyhi = fy[:, :, :, fy.shape[3] - 1]
 
     # ---- sources + accounting (port of kernels/binary_update._kernel,
     # subprog_binary_scheme.cpp:337-450) ---------------------------------
@@ -321,7 +337,7 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
     r_cell = jnp.sqrt(x * x + y * y)
     br = buffer_damping_rate * (1.0 + jnp.tanh(3.0 * (r_cell
                                                       - buffer_radius)))
-    sb = (init_ref[...] - u0) * br[:, None] * dt
+    sb = (init - u0) * br[:, None] * dt
     sf = u0 * (0.01 * (sigma < floor))[:, None]
 
     s = sg1 + sg2 + ss1 + ss2 + sb + sf
@@ -343,7 +359,7 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
 
     dA = sp * sp
     div = (fx[:, :, 1:] - fx[:, :, :-1]) + (fy[:, :, :, 1:] - fy[:, :, :, :-1])
-    u1_ref[...] = u0 - div * dt / dA + s
+    u1 = u0 - div * dt / dA + s
 
     # ---- totals: one [16, 128] row per grid step (summed by the caller;
     # an in-kernel accumulator would force "arbitrary" grid semantics and
@@ -388,7 +404,7 @@ def _main_update(pex, pey, Gex, Gey, u0, p, dt, bodies_ref, geo_ref,
     for r, k, v in entries:
         contrib = contrib + jnp.where(
             jnp.logical_and(rows == r, cols == k), v, 0.0)
-    totals_ref[0] = contrib
+    return u1, fxlo, fxhi, fylo, fyhi, contrib
 
 
 def fused_advance_core(u0T, pT, strips, blockgeo,

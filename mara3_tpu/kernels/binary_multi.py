@@ -1,0 +1,513 @@
+"""K flagship steps in ONE Pallas launch: the whole AMR mesh VMEM-resident.
+
+The round-3 single-launch advance (binary_advance.fused_advance_core2)
+left a per-STEP tail the hardware never sees inside a kernel: the CFL
+reduce, the Kepler solve, the jnp guard gathers/packing between launches,
+and the ~0.3 ms launch dispatch itself. At d6b96 the state is only 15 MB
+(136 blocks x 3 x 96 x 96 f32), far under the ~100 MB VMEM budget, so —
+exactly like kernels/amrsand_step.py and kernels/iso2d_step_v5.py did for
+their meshes — the whole quadtree can stay resident and the launch can
+run K complete steps:
+
+  per step, in-kernel:
+    1. bodies from the two-body elements at the carried time t
+       (fixed-count vector Newton on Kepler's equation — the binary is
+       NOT live in this path, so the elements are launch constants),
+    2. pass A over block chunks: primitive recovery, the 6 edge
+       rows/columns of every block, and the CFL reduce
+       (min over blocks of spacing / max wavespeed — min/max reductions
+       are order-exact, so the chunked reduce equals the jnp one),
+    3. guard strips for primitives AND edge slopes as one-hot MXU
+       matmuls over the block axis (exact: one-hot entries are 0/1 and
+       the fine-average 0.5s are powers of two) — the whole-mesh matmul
+       form of block_layout.guard_strips_from_edges,
+    4. pass B over chunks: the full _main_update_vals (PLM + HLLE/HLLC +
+       viscous fluxes + gravity/sink/buffer sources + totals tile) —
+       the SAME code the per-step kernel runs,
+    5. the coarse--fine flux correction (one-hot matmuls + pair-sum
+       restriction), the pad-row re-benign, the fault reduce, and one
+       [16, 128] totals/dt/invalid row per step.
+
+  outside, once per K steps (still one jit program): the orbital-element
+  bookkeeping vmapped over the K steps (the ~60-op scalar chain that
+  cost 0.1-0.2 ms per step now runs once per chunk), and the LEAN info
+  rows the driver loop consumes (schemes/binary_step._INFO_LAYOUT).
+
+Scope (asserted by make_multi_scan): conserve_linear_p, rk_order == 1,
+hlle/hllc + pcm/plm, binary not live within the launch window
+(time + K*dt < begin_live_binary — the default config has
+begin_live_binary = 1e6, reference subprog_binary.cpp:92). Anything else
+falls back to the per-step fast scan.
+
+Reference hot loop: subprog_binary_scheme.cpp:790-1020 (advance),
+:1107-1126 (maximum_timestep), subprog_binary.cpp:258-292 (step/retry).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mara3_tpu.kernels.binary_advance import _main_update_vals, pick_chunk
+from mara3_tpu.mesh import block_layout
+
+# rows of the per-step [16, 128] output tile beyond the totals entries
+# (binary_advance._main_update_vals uses rows 0-8)
+ROW_DT = 9
+ROW_INVALID = 10
+ROW_TPREV = 11   # step-start time, EXACTLY as the in-kernel hydro saw it
+#                  (a cumsum reconstruction outside differs by 1 ulp and
+#                  the near-circular element inversion amplifies that)
+
+
+class _BodiesVals:
+    """Scalar-indexable bodies[(k, j)] over in-kernel computed scalars,
+    so _main_update_vals/_hlle_viscous can consume them exactly like the
+    SMEM bodies ref of the per-step kernel."""
+
+    def __init__(self, rows):
+        self.rows = rows               # ((m,x,y,vx,vy), (m,x,y,vx,vy))
+
+    def __getitem__(self, idx):
+        k, j = idx
+        return self.rows[k][j]
+
+
+def _onehot(ids, Bp, dtype):
+    W = np.zeros((Bp, Bp), dtype)
+    W[np.arange(len(ids)), np.asarray(ids)] = 1.0
+    return W
+
+
+def build_multi_tables(nt, spacing, bs: int, B: int, Bp: int, dtype):
+    """Static one-hot/selection tables for the whole-mesh guard exchange
+    and flux correction, built from the SELF-NEIGHBORING padded table so
+    every tensor is [Bp]-sized (pad rows only ever reference pad rows)."""
+    ntp = block_layout.pad_neighbor_table(nt, Bp - B)
+    Mh, Pf = block_layout.build_soa_guard(ntp, bs, dtype)
+
+    Wg = np.zeros((4, 4, Bp, Bp), dtype)
+    Mg = np.zeros((4, 4, Bp, 1), dtype)
+    Wc = np.zeros((4, 2, Bp, Bp), dtype)
+    fmask = np.zeros((4, Bp, 1), dtype)
+    for f in range(4):
+        Wg[f, 0] = _onehot(ntp.same_id[:, f], Bp, dtype)
+        Wg[f, 1] = _onehot(ntp.coarse_id[:, f], Bp, dtype)
+        Wg[f, 2] = _onehot(ntp.fine_id[:, f, 0], Bp, dtype)
+        Wg[f, 3] = _onehot(ntp.fine_id[:, f, 1], Bp, dtype)
+        Mg[f, 0, :, 0] = ntp.case[:, f] == 0
+        Mg[f, 1, :, 0] = ntp.case[:, f] == 1
+        Mg[f, 2, :, 0] = (ntp.case[:, f] == 1) & (ntp.coarse_half[:, f] == 0)
+        Mg[f, 3, :, 0] = ntp.case[:, f] == 2
+        Wc[f, 0] = _onehot(ntp.fine_id[:, f, 0], Bp, dtype)
+        Wc[f, 1] = _onehot(ntp.fine_id[:, f, 1], Bp, dtype)
+        fmask[f, :, 0] = ntp.case[:, f] == 2
+
+    # pair-sum restriction of a fine strip pair onto the coarse face
+    # (binary_scheme._finish_advance 'restricted': NO 0.5 — flux
+    # restriction is extrinsic): out[p] = s0[2p] + s0[2p+1] for the low
+    # half, s1[2p-bs] + s1[2p-bs+1] for the high half
+    R = np.zeros((2, bs, bs), dtype)
+    for p in range(bs // 2):
+        R[0, 2 * p, p] = 1.0
+        R[0, 2 * p + 1, p] = 1.0
+    for p in range(bs // 2, bs):
+        q = 2 * p - bs
+        R[1, q, p] = 1.0
+        R[1, q + 1, p] = 1.0
+
+    T = np.stack([Mh[0], Mh[1], Pf[0], Pf[1]])
+    return (jnp.asarray(Wg), jnp.asarray(Mg), jnp.asarray(T),
+            jnp.asarray(Wc), jnp.asarray(R), jnp.asarray(fmask))
+
+
+def _dot(a, b):
+    """Exact one-hot contraction (HIGHEST: f32's 3-pass bf16 split is
+    exact for 0/1/0.5 weights — amrsand_step rationale)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=a.dtype)
+
+
+def _guard_from_edges(E, side_slots, Wg, Mg, T, Bp, C, bs):
+    """One-cell guard strips [4?, ...] for ONE face f from the mesh-wide
+    edge tensor E [Bp, C, S, bs] via one-hot matmuls. `side_slots` =
+    (edge_slot, inner_slot) in E for the neighbor's facing rows.
+    Wg/Mg are the [4, Bp, Bp] / [4, Bp, 1] slot tables of face f.
+    Mirrors block_layout.guard_strips_from_edges bit-for-bit (same
+    one-hot dots, same 0.5 fine-average order)."""
+    e_edge = E[:, :, side_slots[0]].reshape(Bp, C * bs)
+    e_inner = E[:, :, side_slots[1]].reshape(Bp, C * bs)
+    Mh0, Mh1, Pf0, Pf1 = T[0], T[1], T[2], T[3]
+
+    def lanes(a, M):
+        # [Bp, C*bs] x [bs, bs] on the lane axis, per component
+        return _dot(a.reshape(Bp * C, bs), M).reshape(Bp, C * bs)
+
+    same = _dot(Wg[0], e_edge)
+    crow = _dot(Wg[1], e_edge)
+    coarse = (Mg[2] * lanes(crow, Mh0)
+              + (Mg[1] - Mg[2]) * lanes(crow, Mh1))
+    a0 = 0.5 * (_dot(Wg[2], e_inner) + _dot(Wg[2], e_edge))
+    a1 = 0.5 * (_dot(Wg[3], e_inner) + _dot(Wg[3], e_edge))
+    fine = lanes(a0, Pf0) + lanes(a1, Pf1)
+    out = Mg[0] * same + coarse + Mg[3] * fine
+    return out.reshape(Bp, C, bs)
+
+
+def _plm_val(yl, y0, yr, theta):
+    """The kernel PLM (binary_advance._kernel form — sign via jnp.sign)."""
+    a = (y0 - yl) * theta
+    b = (yr - yl) * 0.5
+    c = (yr - y0) * theta
+    sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
+    sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
+    sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
+    mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+    return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+
+
+def _scalar(v):
+    """Extract the (replicated) scalar from a [1, 128] vector value."""
+    return jnp.max(v)
+
+
+def _kepler_bodies(e10, t, dtype):
+    """bodies scalars at time t from packed elements (the traced
+    two_body_jax.compute_two_body_state, computed in [1, 128] vector form
+    throughout so every transcendental/irrational op stays on the VPU —
+    Mosaic's scalar core has no sin/cos/sqrt; the binary is not live here
+    so e10 is a launch constant). Returns ((m,x,y,vx,vy), x2)."""
+    (POMEGA, TAU, CMX, CMY, CMVX, CMVY, A, M, Q, E) = range(10)
+
+    def vec(s):
+        return jnp.full((1, 128), s, dtype)
+
+    a, Mt, q, ecc = vec(e10[A]), vec(e10[M]), vec(e10[Q]), vec(e10[E])
+    tv, tau = vec(t), vec(e10[TAU])
+    P = 2.0 * np.pi * jnp.sqrt(jnp.where(Mt > 0, a ** 3 / Mt, 1.0))
+    n = jnp.maximum(0.0, jnp.ceil((tau - tv) / P))
+    tloc = tv + n * P - tau
+    omega = jnp.where(a == 0.0, 0.0,
+                      jnp.sqrt(Mt / jnp.maximum(a, 1e-30) ** 3))
+    mu = q / (1.0 + q)
+    Mv = omega * tloc
+
+    x = Mv + ecc * jnp.sin(Mv) + 0.5 * ecc * ecc * jnp.sin(2.0 * Mv)
+    for _ in range(10):
+        y = x - ecc * jnp.sin(x) - Mv
+        x = x - y / (1.0 - ecc * jnp.cos(x))
+    Ecc = jnp.where(ecc > 0.0, x, Mv)
+    cE = jnp.cos(Ecc)
+    sE = jnp.sin(Ecc)
+    root = jnp.sqrt(1.0 - ecc * ecc)
+
+    x1 = -a * mu * (ecc - cE)
+    y1 = +a * mu * sE * root
+    vx1 = -a * mu * omega / (1.0 - ecc * cE) * sE
+    vy1 = +a * mu * omega / (1.0 - ecc * cE) * cE * root
+    m1 = Mt * (1.0 - mu)
+    m2 = Mt * mu
+    qs = jnp.maximum(q, 1e-30)
+    x2, y2, vx2, vy2 = -x1 / qs, -y1 / qs, -vx1 / qs, -vy1 / qs
+
+    c = jnp.cos(vec(-e10[POMEGA]))
+    s = jnp.sin(vec(-e10[POMEGA]))
+
+    def transform(m, x_, y_, vx_, vy_):
+        xr = +x_ * c + y_ * s
+        yr = -x_ * s + y_ * c
+        vxr = +vx_ * c + vy_ * s
+        vyr = -vx_ * s + vy_ * c
+        return (_scalar(m), _scalar(xr + vec(e10[CMX])),
+                _scalar(yr + vec(e10[CMY])),
+                _scalar(vxr + vec(e10[CMVX])),
+                _scalar(vyr + vec(e10[CMVY])))
+
+    return (transform(m1, x1, y1, vx1, vy1),
+            transform(m2, x2, y2, vx2, vy2))
+
+
+def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
+                  mg_ref, tmat_ref, wc_ref, rmat_ref, fm_ref, bmask_ref,
+                  u_out_ref, rows_ref,
+                  unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr,
+                  *, k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
+                  cfg_tuple, cfg_flux, buffer_cfg, fixed_dt):
+    dtype = u_out_ref.dtype
+    e10 = tuple(e10_ref[j] for j in range(10))
+    bigpos = jnp.asarray(3.4e38 if dtype == jnp.float32 else 1e300, dtype)
+
+    # u_out_ref aliases the u input buffer (input_output_aliases): all
+    # state reads/writes go through it; u_ref is never touched
+    del u_ref
+
+    Wg = wg_ref[...]
+    Mg = mg_ref[...]
+    Tm = tmat_ref[...]
+    Wc = wc_ref[...]
+    Rm = rmat_ref[...]
+    Fm = fm_ref[...]
+
+    subi = jax.lax.broadcasted_iota(jnp.int32, (K2, C, bs, bs), 2)
+    lanej = jax.lax.broadcasted_iota(jnp.int32, (K2, C, bs, bs), 3)
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
+    cols16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+
+    def recover(uc):
+        # conserve_linear_p recovery (binary_scheme.recover_soa)
+        sig = uc[:, 0:1]
+        return jnp.concatenate([sig, uc[:, 1:] / sig], axis=1)
+
+    def geo_chunk(c):
+        g = geo_ref[pl.ds(c * K2, K2)]          # [K2, 1, 128]
+        return g[:, :, 0:3]
+
+    def step(k, t):
+        bodies = _kepler_bodies(e10, t, dtype)
+        bv = _BodiesVals(bodies)
+        (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
+         floor, gst2) = cfg_tuple
+        b1m, b1x, b1y = bodies[0][0], bodies[0][1], bodies[0][2]
+        b2m, b2x, b2y = bodies[1][0], bodies[1][1], bodies[1][2]
+
+        # ---- pass A: edges + CFL reduce -------------------------------
+        def passA(c, dtmin):
+            uc = u_out_ref[pl.ds(c * K2, K2)]
+            pc = recover(uc)
+            rows6 = (0, 1, 2, bs - 3, bs - 2, bs - 1)
+            e6x = jnp.stack([pc[:, :, r] for r in rows6], axis=2)
+            e6y = jnp.stack([pc[:, :, :, r] for r in rows6], axis=2)
+            e6x_scr[pl.ds(c * K2, K2)] = e6x
+            e6y_scr[pl.ds(c * K2, K2)] = e6y
+
+            geo = geo_chunk(c)
+            gx0 = geo[:, :, 0][..., None]
+            gy0 = geo[:, :, 1][..., None]
+            gdx = geo[:, :, 2][..., None]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 1)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 2)
+            x = gx0 + (ii.astype(dtype) + 0.5) * gdx
+            y = gy0 + (jj.astype(dtype) + 0.5) * gdx
+            # cs2 exactly as binary_step.maximum_timestep
+            if axisym:
+                cs2 = 1.0 / jnp.sqrt(x * x + y * y) / (mach * mach)
+            else:
+                p1 = -b1m / jnp.sqrt((x - b1x) ** 2 + (y - b1y) ** 2
+                                     + softening ** 2)
+                p2 = -b2m / jnp.sqrt((x - b2x) ** 2 + (y - b2y) ** 2
+                                     + softening ** 2)
+                cs2 = -(p1 + p2) / (mach * mach)
+            cs = jnp.sqrt(cs2)
+            a = jnp.maximum(jnp.abs(pc[:, 1]) + cs, jnp.abs(pc[:, 2]) + cs)
+            # stay 2-D for Mosaic: [K2, 1] reductions, scalar at the end
+            amax_c = jnp.max(jnp.max(a, axis=2), axis=1, keepdims=True)
+            sp_c = geo[:, :, 2]                               # [K2, 1]
+            bm_c = bmask_ref[pl.ds(c * K2, K2)][:, :, 0]      # [K2, 1]
+            cand = jnp.where(bm_c > 0.5, sp_c / amax_c, bigpos)
+            return jnp.minimum(dtmin, jnp.min(cand))
+
+        dt_cfl = jax.lax.fori_loop(0, nchunks, passA, bigpos)
+        if fixed_dt is not None:
+            dt = jnp.asarray(fixed_dt, dtype)
+        else:
+            dt = cfl * dt_cfl
+
+        # ---- whole-mesh guard strips (one-hot matmuls) ----------------
+        E6x = e6x_scr[...]
+        E6y = e6y_scr[...]
+        # face slots in rows6 = (0, 1, 2, bs-3, bs-2, bs-1):
+        # my-lo face wants the neighbor's HIGH rows: edge=5, inner=4;
+        # my-hi face wants its LOW rows: edge=0, inner=1
+        pxlo = _guard_from_edges(E6x, (5, 4), Wg[0], Mg[0], Tm, Bp, C, bs)
+        pxhi = _guard_from_edges(E6x, (0, 1), Wg[1], Mg[1], Tm, Bp, C, bs)
+        pylo = _guard_from_edges(E6y, (5, 4), Wg[2], Mg[2], Tm, Bp, C, bs)
+        pyhi = _guard_from_edges(E6y, (0, 1), Wg[3], Mg[3], Tm, Bp, C, bs)
+
+        # ---- edge slopes (4 rows/cols per axis) + their guard strips --
+        spv = geo_ref[...][:, 0, 2:3]            # [Bp, 1] block spacing
+        sp_bc = spv[:, :, None]                  # [Bp, 1, 1]
+
+        def x_slopes(E6, glo, ghi):
+            # normal slopes along x at rows (0, 1, bs-2, bs-1)
+            s0 = _plm_val(glo, E6[:, :, 0], E6[:, :, 1], theta)
+            s1 = _plm_val(E6[:, :, 0], E6[:, :, 1], E6[:, :, 2], theta)
+            s2 = _plm_val(E6[:, :, 3], E6[:, :, 4], E6[:, :, 5], theta)
+            s3 = _plm_val(E6[:, :, 4], E6[:, :, 5], ghi, theta)
+            return jnp.stack([s0, s1, s2, s3], axis=2) / sp_bc[..., None]
+
+        def t_slopes(E6, tlo, thi):
+            # transverse (lane-axis) slopes of the same 4 rows; the lane
+            # extension splices the facing guard VALUES at each row
+            outs = []
+            for slot, r in ((0, 0), (1, 1), (4, bs - 2), (5, bs - 1)):
+                row = E6[:, :, slot]             # [Bp, C, bs]
+                lo = tlo[:, :, r][:, :, None]
+                hi = thi[:, :, r][:, :, None]
+                ext = jnp.concatenate([lo, row, hi], axis=2)
+                outs.append(_plm_val(ext[:, :, :-2], ext[:, :, 1:-1],
+                                     ext[:, :, 2:], theta))
+            return jnp.stack(outs, axis=2) / sp_bc[..., None]
+
+        # both edge-slope tensors carry the (gx, gy) component order of
+        # G = concat([gx, gy]) — advance_soa's E_G_x/E_G_y layout. On the
+        # y-axis tensor the NORMAL (d/dy) slopes are the slot-difference
+        # ones and the x-slopes are the lane-extension ones, so the two
+        # helper roles swap:
+        EGx = jnp.concatenate([x_slopes(E6x, pxlo, pxhi),
+                               t_slopes(E6x, pylo, pyhi)], axis=1)
+        EGy = jnp.concatenate([t_slopes(E6y, pxlo, pxhi),
+                               x_slopes(E6y, pylo, pyhi)], axis=1)
+        # 4-slot edge tensors: my-lo face edge=3 (bs-1), inner=2 (bs-2)
+        gxlo = _guard_from_edges(EGx, (3, 2), Wg[0], Mg[0], Tm, Bp,
+                                 2 * C, bs)
+        gxhi = _guard_from_edges(EGx, (0, 1), Wg[1], Mg[1], Tm, Bp,
+                                 2 * C, bs)
+        gylo = _guard_from_edges(EGy, (3, 2), Wg[2], Mg[2], Tm, Bp,
+                                 2 * C, bs)
+        gyhi = _guard_from_edges(EGy, (0, 1), Wg[3], Mg[3], Tm, Bp,
+                                 2 * C, bs)
+
+        # ---- pass B: the full per-chunk update ------------------------
+        def passB(c, contrib):
+            uc = u_out_ref[pl.ds(c * K2, K2)]
+            pc = recover(uc)
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
+            x_as = lambda a: a[:, :, None, :]
+            y_as = lambda a: a[..., None]
+            pex = jnp.concatenate([x_as(sl(pxlo)), pc, x_as(sl(pxhi))],
+                                  axis=2)
+            pey = jnp.concatenate([y_as(sl(pylo)), pc, y_as(sl(pyhi))],
+                                  axis=3)
+            sp_c = geo_chunk(c)[:, :, 2][..., None, None]     # [K2,1,1,1]
+            gx = _plm_val(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:],
+                          theta) / sp_c
+            gy = _plm_val(pey[:, :, :, :-2], pey[:, :, :, 1:-1],
+                          pey[:, :, :, 2:], theta) / sp_c
+            # VMEM-scratch round-trip normalizes the slice-built layout
+            # (Mosaic lane-concat offset rule — see binary_advance._kernel)
+            g_scr[...] = jnp.concatenate([gx, gy], axis=1)
+            G = g_scr[...]
+            Gex = jnp.concatenate([x_as(sl(gxlo)), G, x_as(sl(gxhi))],
+                                  axis=2)
+            Gey = jnp.concatenate([y_as(sl(gylo)), G, y_as(sl(gyhi))],
+                                  axis=3)
+            bm_c = bmask_ref[pl.ds(c * K2, K2)][..., None]
+            u1c, fxlo_c, fxhi_c, fylo_c, fyhi_c, con = _main_update_vals(
+                pex, pey, Gex, Gey, uc, pc, dt, bv, geo_chunk(c),
+                init_ref[pl.ds(c * K2, K2)], sp_c, bm_c,
+                cfg_tuple, cfg_flux, buffer_cfg)
+            unew_scr[pl.ds(c * K2, K2)] = u1c
+            fs_scr[0, pl.ds(c * K2, K2)] = fxlo_c
+            fs_scr[1, pl.ds(c * K2, K2)] = fxhi_c
+            fs_scr[2, pl.ds(c * K2, K2)] = fylo_c
+            fs_scr[3, pl.ds(c * K2, K2)] = fyhi_c
+            return contrib + con
+
+        contrib = jax.lax.fori_loop(
+            0, nchunks, passB, jnp.zeros((16, 128), dtype))
+
+        # ---- coarse-fine flux correction (whole-mesh one-hot form) ----
+        fxlo_all = fs_scr[0]
+        fxhi_all = fs_scr[1]
+        fylo_all = fs_scr[2]
+        fyhi_all = fs_scr[3]
+        spl = geo_ref[...][:, 0, 2:3][:, :, None]             # [Bp, 1, 1]
+        dtdA = dt / (spl * spl)
+
+        def restricted(strips, f):
+            sf = strips.reshape(Bp, C * bs)
+            a0 = _dot(Wc[f, 0], sf).reshape(Bp * C, bs)
+            a1 = _dot(Wc[f, 1], sf).reshape(Bp * C, bs)
+            return (_dot(a0, Rm[0]) + _dot(a1, Rm[1])).reshape(Bp, C, bs)
+
+        d_xlo = (restricted(fxhi_all, 0) - fxlo_all) * dtdA * Fm[0, :, :, None]
+        d_xhi = (restricted(fxlo_all, 1) - fxhi_all) * dtdA * Fm[1, :, :, None]
+        d_ylo = (restricted(fyhi_all, 2) - fylo_all) * dtdA * Fm[2, :, :, None]
+        d_yhi = (restricted(fylo_all, 3) - fyhi_all) * dtdA * Fm[3, :, :, None]
+
+        # ---- pass C: edge fixup + pad re-benign + fault reduce --------
+        def passC(c, inv):
+            uc = unew_scr[pl.ds(c * K2, K2)]
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
+            uc = uc + jnp.where(subi == 0, sl(d_xlo)[:, :, None, :], 0.0)
+            uc = uc - jnp.where(subi == bs - 1,
+                                sl(d_xhi)[:, :, None, :], 0.0)
+            uc = uc + jnp.where(lanej == 0, sl(d_ylo)[..., None], 0.0)
+            uc = uc - jnp.where(lanej == bs - 1, sl(d_yhi)[..., None], 0.0)
+            bm_c = bmask_ref[pl.ds(c * K2, K2)][..., None]    # [K2,1,1,1]
+            # pads re-benign each step (sigma=1, v=0: the per-step kernel
+            # refreshes them from the wrapper; here they must survive K)
+            benign = jnp.where(jax.lax.broadcasted_iota(
+                jnp.int32, (K2, C, bs, bs), 1) == 0, 1.0, 0.0
+            ).astype(dtype)
+            uc = jnp.where(bm_c > 0.5, uc, benign)
+            u_out_ref[pl.ds(c * K2, K2)] = uc
+            bad = jnp.logical_or(uc[:, 0] < 0.0, jnp.isnan(uc[:, 0]))
+            bad = jnp.logical_and(bad, bm_c[:, 0] > 0.5)
+            return jnp.logical_or(inv, jnp.any(bad))
+
+        invalid = jax.lax.fori_loop(0, nchunks, passC,
+                                    jnp.asarray(False))
+
+        row = contrib \
+            + jnp.where(jnp.logical_and(rows16 == ROW_DT, cols16 == 0),
+                        dt, 0.0) \
+            + jnp.where(jnp.logical_and(rows16 == ROW_INVALID,
+                                        cols16 == 0),
+                        invalid.astype(dtype), 0.0) \
+            + jnp.where(jnp.logical_and(rows16 == ROW_TPREV, cols16 == 0),
+                        t, 0.0)
+        rows_ref[k] = row
+        return t + dt
+
+    t_final = jax.lax.fori_loop(0, k_steps, step, t0_ref[0])
+    del t_final
+
+
+def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
+                     K2, B, Bp, bs, cfl, theta, cfg_tuple, cfg_flux,
+                     buffer_cfg, fixed_dt=None, interpret=False):
+    """k_steps complete flagship steps in one launch.
+
+    uT [Bp, C, bs, bs] (pad rows benign), e10 the packed orbital
+    elements [10], t0 the start time. Returns (uT_out [Bp, ...],
+    rows [k_steps, 16, 128]) with per-step totals + dt (ROW_DT) +
+    invalid flag (ROW_INVALID)."""
+    C = uT.shape[1]
+    dtype = uT.dtype
+    nchunks = Bp // K2
+    Wg, Mg, Tm, Wc, Rm, Fm = tables
+
+    kernel = functools.partial(
+        _kernel_multi, k_steps=k_steps, K2=K2, nchunks=nchunks, B=B,
+        Bp=Bp, C=C, bs=bs, cfl=cfl, theta=theta, cfg_tuple=cfg_tuple,
+        cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed_dt)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    u_out, rows = pl.pallas_call(
+        kernel,
+        in_specs=[smem, smem] + [vmem] * 10,
+        out_specs=(vmem, vmem),
+        out_shape=(jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
+                   jax.ShapeDtypeStruct((k_steps, 16, 128), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((Bp, C, bs, bs), dtype),      # unew
+            pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x
+            pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6y
+            pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips
+            pltpu.VMEM((K2, 2 * C, bs, bs), dtype),  # gradient layout fix
+        ],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(e10, dtype), jnp.asarray(t0, dtype).reshape(1),
+      uT, geo, init, Wg, Mg, Tm, Wc, Rm, Fm, bmask)
+    return u_out, rows

@@ -353,3 +353,177 @@ def _wrap_trailing(trailing_adv, uT, bodies, dt, theta):
     u1, totals, invalid = trailing_adv(
         jnp.transpose(uT, (0, 2, 3, 1)), bodies, dt, theta)
     return jnp.transpose(u1, (0, 3, 1, 2)), totals, invalid
+
+
+def make_multi_scan(sd, k_chunk: int = 16):
+    """Fast scan with K steps per Pallas LAUNCH (kernels/binary_multi.py):
+    CFL + Kepler + guard exchange + advance + flux correction all run
+    in-kernel; the orbital-element bookkeeping (the ~60-op scalar chain
+    the per-step path dispatches every step) runs once per chunk, vmapped
+    over the K steps. Returns ``scan_steps(s, n)`` with the same
+    (state, rows [n, INFO_WIDTH]) contract as make_fast_scan; n must be a
+    multiple of k_chunk.
+
+    Scope: conserve_linear_p, rk_order == 1, plm/pcm, binary not live
+    inside any launch window (the caller must ensure
+    time + n*dt < begin_live_binary; default begin_live_binary = 1e6,
+    subprog_binary.cpp:92). Fault handling is chunk-level like
+    make_fast_scan: per-step invalid flags ride the rows and the driver
+    repairs by rewind (subprograms/binary._main_fast)."""
+    from functools import partial
+
+    import numpy as np
+
+    from mara3_tpu.kernels import binary_multi as BM
+    from mara3_tpu.kernels.binary_advance import pick_chunk
+
+    cfg = sd.cfg_scheme
+    if not cfg.conserve_linear_p:
+        raise NotImplementedError("multi-step kernel: conserve_linear_p "
+                                  "formulations only")
+    if sd.rk_order != 1:
+        raise NotImplementedError("multi-step kernel: rk_order == 1 only")
+    if cfg.reconstruct_method not in ("plm", "pcm"):
+        raise NotImplementedError(cfg.reconstruct_method)
+
+    xc, dA, spacing, xf, yf = (np.asarray(a) for a in sd.geometry)
+    B, bs = xc.shape[0], cfg.block_size
+    K2, Bp = pick_chunk(B, bs)
+    pad = Bp - B
+    dtype = jnp.asarray(sd.initial_conserved).dtype
+
+    tables = BM.build_multi_tables(sd.nt, spacing, bs, B, Bp,
+                                   np.dtype(dtype).type)
+    x00 = xc[:, 0, 0, 0] - 0.5 * spacing
+    y00 = xc[:, 0, 0, 1] - 0.5 * spacing
+    geo_np = np.ones((Bp, 1, 128), np.dtype(dtype).type)
+    geo_np[:B, 0, 0] = x00
+    geo_np[:B, 0, 1] = y00
+    geo_np[:B, 0, 2] = spacing
+    geo = jnp.asarray(geo_np)
+    bmask = jnp.asarray(
+        np.pad(np.ones((B, 1, 1)), [(0, pad), (0, 0), (0, 0)]), dtype)
+    initT = jnp.transpose(jnp.asarray(sd.initial_conserved, dtype),
+                          (0, 3, 1, 2))
+    if pad:
+        initT = jnp.pad(initT, [(0, pad)] + [(0, 0)] * 3)
+    benign = jnp.asarray(np.broadcast_to(
+        np.array([1.0, 0.0, 0.0])[None, :, None, None],
+        (pad, 3, bs, bs)).copy(), dtype)
+
+    cfg_tuple = (cfg.softening_radius, cfg.sink_radius, cfg.sink_rate,
+                 cfg.mach_number, cfg.axisymmetric_cs2,
+                 cfg.conserve_linear_p, cfg.density_floor,
+                 cfg.gst_suppr_radius ** 2)
+    cfg_flux = (cfg.softening_radius, cfg.mach_number,
+                cfg.axisymmetric_cs2, cfg.conserve_linear_p, cfg.alpha,
+                cfg.alpha_cutoff_radius, cfg.nu, cfg.domain_radius,
+                cfg.riemann)
+    buffer_cfg = (cfg.buffer_damping_rate, cfg.domain_radius)
+    theta = sd.plm_theta if cfg.reconstruct_method == "plm" else 0.0
+    fixed = sd.recommended_time_step if sd.fixed_dt else None
+    interpret = jax.default_backend() != "tpu"
+
+    from mara3_tpu.schemes.binary_scheme import _work_done
+
+    def chunk_body(s, _):
+        uT = s["conserved"]
+        if pad:
+            uT = jnp.concatenate([uT, benign])
+        u_out, rows_raw = BM.advance_k_pallas(
+            uT, s["oe"], s["time"], tables, geo, initT, bmask,
+            k_steps=k_chunk, K2=K2, B=B, Bp=Bp, bs=bs,
+            cfl=sd.cfl_number, theta=theta, cfg_tuple=cfg_tuple,
+            cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed,
+            interpret=interpret)
+        rows_raw = rows_raw.astype(s["time"].dtype)
+        dts = rows_raw[:, BM.ROW_DT, 0]
+        invalids = rows_raw[:, BM.ROW_INVALID, 0]
+        # step-start times exactly as the kernel's hydro used them (a
+        # cumsum here is 1 ulp off and the near-circular orbital-element
+        # inversion amplifies that to ~1e-9 in the drift diagnostics)
+        t_prev = rows_raw[:, BM.ROW_TPREV, 0]
+        t_after = t_prev + dts
+        its = s["iteration"] + 1 + jnp.arange(k_chunk, dtype=jnp.int32)
+
+        # per-step totals dicts (the _finish_advance row mapping)
+        tk = {
+            "mass_accreted_on": rows_raw[:, 0, :2],
+            "angular_momentum_accreted_on": rows_raw[:, 1, :2],
+            "integrated_torque_on": rows_raw[:, 2, :2],
+            "momentum_x_accreted_on": rows_raw[:, 3, :2],
+            "momentum_y_accreted_on": rows_raw[:, 4, :2],
+            "integrated_force_x_on": rows_raw[:, 5, :2],
+            "integrated_force_y_on": rows_raw[:, 6, :2],
+            "mass_ejected": rows_raw[:, 7, 0],
+            "angular_momentum_ejected": rows_raw[:, 8, 0],
+        }
+
+        # bookkeeping vmapped over the chunk (binary_step.stage, with
+        # live == 0 so the elements the hydro saw are exactly s["oe"])
+        E0 = s["oe"]
+        bodies_k = jax.vmap(
+            lambda t: tbj.compute_two_body_state(E0, t))(t_prev)
+        m = bodies_k[:, :, 0]
+        vx = bodies_k[:, :, 3]
+        vy = bodies_k[:, :, 4]
+        dM = tk["mass_accreted_on"]
+        dpx = tk["momentum_x_accreted_on"]
+        dpy = tk["momentum_y_accreted_on"]
+        if sd.no_accretion_force:
+            avx, avy = vx, vy
+        else:
+            avx = (m * vx + dpx) / (m + dM)
+            avy = (m * vy + dpy) / (m + dM)
+        acc_bodies = jnp.stack(
+            [m + dM, bodies_k[:, :, 1], bodies_k[:, :, 2], avx, avy],
+            axis=2)
+        grv_bodies = jnp.stack(
+            [m, bodies_k[:, :, 1], bodies_k[:, :, 2],
+             vx + tk["integrated_force_x_on"] / m,
+             vy + tk["integrated_force_y_on"] / m], axis=2)
+        both = jnp.stack([acc_bodies, grv_bodies])        # [2, k, 2, 5]
+        e_both = jax.vmap(jax.vmap(tbj.compute_orbital_elements,
+                                   in_axes=(0, 0)),
+                          in_axes=(0, None))(both, t_prev)
+        d_both = jax.vmap(jax.vmap(tbj.diff, in_axes=(None, 0)),
+                          in_axes=(None, 0))(E0, e_both)
+        d_acc = jnp.sum(d_both[0], axis=0)
+        d_grv = jnp.sum(d_both[1], axis=0)
+        work_k = jax.vmap(_work_done)(tk, bodies_k)       # [k, 2]
+
+        s1 = {
+            "time": t_after[k_chunk - 1],
+            "iteration": s["iteration"] + k_chunk,
+            "conserved": u_out[:B],
+            "mass_accreted_on": s["mass_accreted_on"]
+                + jnp.sum(tk["mass_accreted_on"], axis=0),
+            "angular_momentum_accreted_on":
+                s["angular_momentum_accreted_on"]
+                + jnp.sum(tk["angular_momentum_accreted_on"], axis=0),
+            "integrated_torque_on": s["integrated_torque_on"]
+                + jnp.sum(tk["integrated_torque_on"], axis=0),
+            "work_done_on": s["work_done_on"] + jnp.sum(work_k, axis=0),
+            "mass_ejected": s["mass_ejected"]
+                + jnp.sum(tk["mass_ejected"]),
+            "angular_momentum_ejected": s["angular_momentum_ejected"]
+                + jnp.sum(tk["angular_momentum_ejected"]),
+            "oe_acc": s["oe_acc"] + d_acc,
+            "oe_grav": s["oe_grav"] + d_grv,
+            "oe": E0,                       # not live in this path
+        }
+
+        ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        rows = jnp.stack([
+            t_after.astype(ft), its.astype(ft), dts.astype(ft),
+            jnp.zeros(k_chunk, ft), invalids.astype(ft)], axis=1)
+        return s1, rows
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_steps(s, n: int):
+        assert n % k_chunk == 0, (n, k_chunk)
+        s_out, rows = jax.lax.scan(chunk_body, s, length=n // k_chunk)
+        return s_out, rows.reshape(n, INFO_WIDTH)
+
+    scan_steps.k_chunk = k_chunk
+    return scan_steps

@@ -1,0 +1,75 @@
+"""The K-steps-per-launch flagship kernel (kernels/binary_multi.py +
+binary_step.make_multi_scan) must reproduce the per-step fast scan:
+same trajectories, same dt sequence, same LEAN info rows, same
+bookkeeping accumulators — the whole step just moved inside one launch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mara3_tpu.schemes import binary_step
+from mara3_tpu.subprograms import binary as B
+
+
+def make_setup(extra=None):
+    cfg = B.create_config_template().create().update(
+        {"depth": 3, "block_size": 16, "rk_order": 1, **(extra or {})})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    return cfg, sd, s0
+
+
+def test_multi_scan_matches_fast_scan():
+    cfg, sd, s0 = make_setup()
+    n, k = 8, 4
+    fast = binary_step.make_fast_scan(sd)
+    multi = binary_step.make_multi_scan(sd, k_chunk=k)
+
+    s_f, rows_f = fast(dict(s0), n)
+    s_m, rows_m = multi(dict(s0), n)
+
+    rows_f = np.asarray(rows_f)
+    rows_m = np.asarray(rows_m)
+    I = binary_step.INFO_INDEX
+    # dt sequence and times agree (iota-rebuilt positions vs precomputed
+    # centers differ at the last ulp, so round-off not bitwise)
+    np.testing.assert_allclose(rows_m[:, I["dt"]], rows_f[:, I["dt"]],
+                               rtol=1e-12)
+    np.testing.assert_allclose(rows_m[:, I["time"]], rows_f[:, I["time"]],
+                               rtol=1e-12)
+    np.testing.assert_array_equal(rows_m[:, I["iteration"]],
+                                  rows_f[:, I["iteration"]])
+    assert not rows_m[:, I["invalid"]].any()
+
+    uf = np.asarray(s_f["conserved"])
+    um = np.asarray(s_m["conserved"])
+    np.testing.assert_allclose(um, uf, rtol=1e-10, atol=1e-13)
+
+    for key in ("mass_accreted_on", "angular_momentum_accreted_on",
+                "integrated_torque_on", "work_done_on", "mass_ejected",
+                "angular_momentum_ejected", "oe_acc", "oe_grav", "oe"):
+        np.testing.assert_allclose(np.asarray(s_m[key]),
+                                   np.asarray(s_f[key]),
+                                   rtol=1e-8, atol=1e-12, err_msg=key)
+    np.testing.assert_allclose(float(s_m["time"]), float(s_f["time"]),
+                               rtol=1e-12)
+    assert int(s_m["iteration"]) == int(s_f["iteration"]) == n
+
+
+def test_multi_scan_fault_flag_rides_rows():
+    """An oversized fixed dt faults inside the launch; the per-step
+    invalid flags must surface in the rows (the driver's rewind repair
+    protocol depends on them)."""
+    cfg, sd, s0 = make_setup({"fixed_dt": 1})
+    # recommended_time_step at this size is tiny; force a huge one
+    sd = sd.__class__(**{**sd.__dict__, "recommended_time_step": 50.0}) \
+        if not hasattr(sd, "_replace") else sd
+    from dataclasses import replace
+    sd = replace(sd, recommended_time_step=50.0, fixed_dt=True)
+    multi = binary_step.make_multi_scan(sd, k_chunk=4)
+    _, rows = multi(dict(s0), 4)
+    I = binary_step.INFO_INDEX
+    assert np.asarray(rows)[:, I["invalid"]].any()
