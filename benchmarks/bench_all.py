@@ -96,14 +96,20 @@ def bench_sedov(repeat, newtonian=1, kernel=None):
                 path=sedov.LAST_PATH)
 
 
-def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
+def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0):
     from mara3_tpu.schemes import binary_step
     from mara3_tpu.subprograms import binary as B
     cfg = B.create_config_template().create().update(
         {"depth": depth, "block_size": block_size, "rk_order": rk_order})
     sd = B.create_solver_data(cfg)
     sol = B.create_solution(cfg, sd)
-    scan_steps = binary_step.make_fast_scan(sd)
+    if multi:
+        # K complete steps per LAUNCH (kernels/binary_multi.py)
+        scan_steps = binary_step.make_multi_scan(sd, k_chunk=int(multi))
+        path = f"pallas:binary_multi(k={int(multi)})"
+    else:
+        scan_steps = binary_step.make_fast_scan(sd)
+        path = "pallas:binary_advance+fast_scan"
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
     nz = s0["conserved"].shape[0] * s0["conserved"].shape[2] * s0["conserved"].shape[3]
@@ -112,10 +118,11 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1):
         s, rows = scan_steps(s0, n)
         return s["conserved"]
 
-    zps, per = _marginal(f, nz, 5, 45, repeat)
-    return dict(config=f"binary_d{depth}b{block_size}_rk{rk_order}",
-                zones=nz, zps=zps, ms_per_step=per * 1e3,
-                path="pallas:binary_advance+fast_scan")
+    n1, n2 = (int(multi), 9 * int(multi)) if multi else (5, 45)
+    zps, per = _marginal(f, nz, n1, n2, repeat)
+    return dict(config=f"binary_d{depth}b{block_size}_rk{rk_order}"
+                + ("_multi" if multi else ""),
+                zones=nz, zps=zps, ms_per_step=per * 1e3, path=path)
 
 
 def bench_cloud(repeat):
@@ -190,6 +197,9 @@ def bench_amrsand(repeat):
 
 BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                binary7=lambda repeat: bench_binary(repeat, depth=7),
+               binary_multi=lambda repeat: bench_binary(repeat, multi=16),
+               binary7_multi=lambda repeat: bench_binary(repeat, depth=7,
+                                                         multi=16),
                sedov_srhd=lambda repeat: bench_sedov(repeat, newtonian=0),
                sedov_jnp=lambda repeat: bench_sedov(repeat, kernel=False),
                cloud=bench_cloud, amrsand=bench_amrsand)
