@@ -527,3 +527,27 @@ def make_multi_scan(sd, k_chunk: int = 16):
 
     scan_steps.k_chunk = k_chunk
     return scan_steps
+
+
+def make_hybrid_scan(sd, k_chunk: int = 16):
+    """make_fast_scan's contract for ANY n: n // k_chunk launches of the
+    multi-step kernel plus a per-step scan for the remainder. Raises
+    NotImplementedError when the solver is outside the multi kernel's
+    scope (the caller falls back to make_fast_scan)."""
+    multi = make_multi_scan(sd, k_chunk=k_chunk)
+    fast = make_fast_scan(sd)
+
+    def scan_steps(s, n: int):
+        m = (n // k_chunk) * k_chunk
+        parts = []
+        if m:
+            s, r = multi(s, m)
+            parts.append(r)
+        if n - m:
+            s, r = fast(s, n - m)
+            parts.append(r)
+        return s, (parts[0] if len(parts) == 1
+                   else jnp.concatenate(parts, axis=0))
+
+    scan_steps.k_chunk = k_chunk
+    return scan_steps

@@ -56,6 +56,11 @@ def create_config_template():
             .item("focus_index", 2.00)
             .item("threaded", 1)
             .item("rk_order", 2)
+            # K complete steps per Pallas LAUNCH in the fast driver loop
+            # (kernels/binary_multi.py): 0 = off, k > 0 = the launch
+            # chunk. Opt-in until hardware-validated; scope-limited
+            # (conserve_linear_p, rk1, not live) with automatic fallback.
+            .item("multi_launch", 0)
             .item("reconstruct_method", "plm")
             # the reference pins hlle (subprog_binary_solver_data.cpp:109);
             # hllc (physics_iso2d.hpp:704-712) is selectable here
@@ -728,7 +733,22 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
 
     from mara3_tpu.schemes import binary_step
 
-    scan_steps = binary_step.make_fast_scan(sd)
+    multi_k = cfg.get_int("multi_launch")
+
+    def build_scan(sd_):
+        if multi_k > 0:
+            try:
+                # eligibility also needs "never live during this run":
+                # the multi kernel holds the elements constant per launch
+                if cfg.get_double("tfinal") * 2 * math.pi \
+                        >= sd_.begin_live_binary:
+                    raise NotImplementedError("live binary")
+                return binary_step.make_hybrid_scan(sd_, k_chunk=multi_k)
+            except NotImplementedError as e:
+                print(f"multi_launch: falling back to per-step scan ({e})")
+        return binary_step.make_fast_scan(sd_)
+
+    scan_steps = build_scan(sd)
     IX = binary_step.INFO_INDEX
     dtype = jnp.asarray(sd.initial_conserved).dtype
     s = binary_step.solution_to_arrays(state.solution, dtype)
@@ -785,7 +805,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
                 binary_step.arrays_to_solution(s, Solution), sd, cfg)
             if sd2 is not sd:
                 sd = sd2
-                scan_steps = binary_step.make_fast_scan(sd)
+                scan_steps = build_scan(sd)
                 retry_step = None
                 num_zones = (len(sd.leaves)
                              * sd.geometry[0].shape[1] ** 2)

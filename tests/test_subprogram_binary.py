@@ -231,3 +231,36 @@ def test_binary_dynamic_regrid_conserves_and_tracks(tmp_path):
     with h5py.File(last) as f:
         for k in f["solution/conserved_u"]:
             assert np.isfinite(f[f"solution/conserved_u/{k}"][()]).all()
+
+
+def test_multi_launch_driver_matches_per_step(tmp_path):
+    """multi_launch=k runs the SAME physics through the K-steps-per-launch
+    kernel inside the real driver loop (hybrid scan, schedule replay,
+    checkpoints): final checkpoint state must match the per-step fast
+    driver at round-off."""
+    args = ["binary", "depth=3", "block_size=16", "rk_order=1",
+            "tfinal=0.04", "cpi=0.02", "tsi=0.015", "fast_step=1"]
+    old = os.getcwd()
+    try:
+        for sub, extra in (("per", "multi_launch=0"),
+                           ("multi", "multi_launch=4")):
+            d = tmp_path / sub
+            d.mkdir()
+            os.chdir(d)
+            assert B.main(args + [extra]) == 0
+    finally:
+        os.chdir(old)
+
+    def last_state(d):
+        name = sorted(f for f in os.listdir(d / "data")
+                      if f.startswith("chkpt"))[-1]
+        with h5py.File(d / "data" / name) as f:
+            g = f["solution"]["conserved_u"]
+            leaves = sorted(g.keys())
+            return np.stack([g[k][()] for k in leaves]), \
+                f["solution"]["time"][()]
+
+    (up, tp), (um, tm) = last_state(tmp_path / "per"), \
+        last_state(tmp_path / "multi")
+    np.testing.assert_allclose(tm, tp, rtol=1e-12)
+    np.testing.assert_allclose(um, up, rtol=1e-9, atol=1e-12)
