@@ -235,10 +235,14 @@ def _kepler_bodies(e10, t, dtype):
 
 def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   mg_ref, tmat_ref, wc_ref, rmat_ref, fm_ref, bmask_ref,
-                  u_out_ref, rows_ref,
-                  unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr,
-                  *, k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
-                  cfg_tuple, cfg_flux, buffer_cfg, fixed_dt):
+                  u_out_ref, rows_ref, *scratch,
+                  k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
+                  cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order):
+    if rk_order == 2:
+        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, s1_scr = scratch
+    else:
+        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr = scratch
+        s1_scr = None
     dtype = u_out_ref.dtype
     e10 = tuple(e10_ref[j] for j in range(10))
     bigpos = jnp.asarray(3.4e38 if dtype == jnp.float32 else 1e300, dtype)
@@ -268,23 +272,24 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         g = geo_ref[pl.ds(c * K2, K2)]          # [K2, 1, 128]
         return g[:, :, 0:3]
 
-    def step(k, t):
-        bodies = _kepler_bodies(e10, t, dtype)
-        bv = _BodiesVals(bodies)
+    def edges_and_cfl(src_ref, bodies, want_cfl):
+        """Fill the e6x/e6y edge scratches from src_ref; when want_cfl,
+        also return the order-exact min over blocks of spacing / amax."""
         (softening, sink_radius, sink_rate, mach, axisym, conserve_p,
          floor, gst2) = cfg_tuple
         b1m, b1x, b1y = bodies[0][0], bodies[0][1], bodies[0][2]
         b2m, b2x, b2y = bodies[1][0], bodies[1][1], bodies[1][2]
 
-        # ---- pass A: edges + CFL reduce -------------------------------
         def passA(c, dtmin):
-            uc = u_out_ref[pl.ds(c * K2, K2)]
+            uc = src_ref[pl.ds(c * K2, K2)]
             pc = recover(uc)
             rows6 = (0, 1, 2, bs - 3, bs - 2, bs - 1)
             e6x = jnp.stack([pc[:, :, r] for r in rows6], axis=2)
             e6y = jnp.stack([pc[:, :, :, r] for r in rows6], axis=2)
             e6x_scr[pl.ds(c * K2, K2)] = e6x
             e6y_scr[pl.ds(c * K2, K2)] = e6y
+            if not want_cfl:
+                return dtmin
 
             geo = geo_chunk(c)
             gx0 = geo[:, :, 0][..., None]
@@ -312,11 +317,14 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             cand = jnp.where(bm_c > 0.5, sp_c / amax_c, bigpos)
             return jnp.minimum(dtmin, jnp.min(cand))
 
-        dt_cfl = jax.lax.fori_loop(0, nchunks, passA, bigpos)
-        if fixed_dt is not None:
-            dt = jnp.asarray(fixed_dt, dtype)
-        else:
-            dt = cfl * dt_cfl
+        return jax.lax.fori_loop(0, nchunks, passA, bigpos)
+
+    def stage_rest(src_ref, dst_ref, dt, bodies):
+        """Guard strips + the full update + flux correction for ONE RK
+        stage: src_ref -> dst_ref (which may be the same ref: the
+        intermediate lives in unew_scr). Returns (totals tile, invalid).
+        Requires the edge scratches filled from src_ref."""
+        bv = _BodiesVals(bodies)
 
         # ---- whole-mesh guard strips (one-hot matmuls) ----------------
         E6x = e6x_scr[...]
@@ -375,7 +383,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         # ---- pass B: the full per-chunk update ------------------------
         def passB(c, contrib):
-            uc = u_out_ref[pl.ds(c * K2, K2)]
+            uc = src_ref[pl.ds(c * K2, K2)]
             pc = recover(uc)
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
             x_as = lambda a: a[:, :, None, :]
@@ -447,24 +455,61 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                 jnp.int32, (K2, C, bs, bs), 1) == 0, 1.0, 0.0
             ).astype(dtype)
             uc = jnp.where(bm_c > 0.5, uc, benign)
-            u_out_ref[pl.ds(c * K2, K2)] = uc
+            dst_ref[pl.ds(c * K2, K2)] = uc
             bad = jnp.logical_or(uc[:, 0] < 0.0, jnp.isnan(uc[:, 0]))
             bad = jnp.logical_and(bad, bm_c[:, 0] > 0.5)
             return jnp.logical_or(inv, jnp.any(bad))
 
         invalid = jax.lax.fori_loop(0, nchunks, passC,
                                     jnp.asarray(False))
+        return contrib, invalid
 
-        row = contrib \
+    def pack_row(contrib, dt, invalid, t_stage):
+        return contrib \
             + jnp.where(jnp.logical_and(rows16 == ROW_DT, cols16 == 0),
                         dt, 0.0) \
             + jnp.where(jnp.logical_and(rows16 == ROW_INVALID,
                                         cols16 == 0),
                         invalid.astype(dtype), 0.0) \
             + jnp.where(jnp.logical_and(rows16 == ROW_TPREV, cols16 == 0),
-                        t, 0.0)
-        rows_ref[k] = row
-        return t + dt
+                        t_stage, 0.0)
+
+    def step(k, t):
+        bodies1 = _kepler_bodies(e10, t, dtype)
+        dt_cfl = edges_and_cfl(u_out_ref, bodies1, want_cfl=True)
+        if fixed_dt is not None:
+            dt = jnp.asarray(fixed_dt, dtype)
+        else:
+            dt = cfl * dt_cfl
+
+        if rk_order == 1:
+            c1, i1 = stage_rest(u_out_ref, u_out_ref, dt, bodies1)
+            rows_ref[k] = pack_row(c1, dt, i1, t)
+            return t + dt
+
+        # RK2 (subprog_binary.cpp:258-283): two stages at the same dt,
+        # then the 1/2-1/2 average; per-STAGE rows so the wrapper can
+        # replay the bookkeeping exactly
+        c1, i1 = stage_rest(u_out_ref, s1_scr, dt, bodies1)
+        bodies2 = _kepler_bodies(e10, t + dt, dtype)
+        edges_and_cfl(s1_scr, bodies2, want_cfl=False)
+        c2, i2 = stage_rest(s1_scr, s1_scr, dt, bodies2)
+
+        def avg_pass(c, _):
+            u0c = u_out_ref[pl.ds(c * K2, K2)]
+            u2c = s1_scr[pl.ds(c * K2, K2)]
+            u_out_ref[pl.ds(c * K2, K2)] = 0.5 * u0c + 0.5 * u2c
+            return _
+
+        jax.lax.fori_loop(0, nchunks, avg_pass, 0)
+        t2 = t + dt
+        rows_ref[2 * k] = pack_row(c1, dt, i1, t)
+        rows_ref[2 * k + 1] = pack_row(c2, dt, i2, t2)
+        # time advances through the SAME 1/2-1/2 average as the state in
+        # the per-step path (jax.tree.map(avg, s, s2) averages s["time"]
+        # = t with s2["time"] = t + 2dt) — bitwise, so chunked and
+        # per-step trajectories see identical Kepler phases
+        return 0.5 * t + 0.5 * (t2 + dt)
 
     t_final = jax.lax.fori_loop(0, k_steps, step, t0_ref[0])
     del t_final
@@ -472,13 +517,15 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
 def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
                      K2, B, Bp, bs, cfl, theta, cfg_tuple, cfg_flux,
-                     buffer_cfg, fixed_dt=None, interpret=False):
+                     buffer_cfg, fixed_dt=None, rk_order=1,
+                     interpret=False):
     """k_steps complete flagship steps in one launch.
 
     uT [Bp, C, bs, bs] (pad rows benign), e10 the packed orbital
     elements [10], t0 the start time. Returns (uT_out [Bp, ...],
-    rows [k_steps, 16, 128]) with per-step totals + dt (ROW_DT) +
-    invalid flag (ROW_INVALID)."""
+    rows [k_steps * rk_order, 16, 128]) with per-STAGE totals + dt
+    (ROW_DT), invalid flag (ROW_INVALID), and stage-start time
+    (ROW_TPREV)."""
     C = uT.shape[1]
     dtype = uT.dtype
     nchunks = Bp // K2
@@ -487,7 +534,18 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
     kernel = functools.partial(
         _kernel_multi, k_steps=k_steps, K2=K2, nchunks=nchunks, B=B,
         Bp=Bp, C=C, bs=bs, cfl=cfl, theta=theta, cfg_tuple=cfg_tuple,
-        cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed_dt)
+        cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed_dt,
+        rk_order=rk_order)
+
+    scratch = [
+        pltpu.VMEM((Bp, C, bs, bs), dtype),      # unew
+        pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x
+        pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6y
+        pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips
+        pltpu.VMEM((K2, 2 * C, bs, bs), dtype),  # gradient layout fix
+    ]
+    if rk_order == 2:
+        scratch.append(pltpu.VMEM((Bp, C, bs, bs), dtype))   # stage state
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -496,14 +554,9 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
         in_specs=[smem, smem] + [vmem] * 10,
         out_specs=(vmem, vmem),
         out_shape=(jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
-                   jax.ShapeDtypeStruct((k_steps, 16, 128), dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((Bp, C, bs, bs), dtype),      # unew
-            pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x
-            pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6y
-            pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips
-            pltpu.VMEM((K2, 2 * C, bs, bs), dtype),  # gradient layout fix
-        ],
+                   jax.ShapeDtypeStruct((k_steps * rk_order, 16, 128),
+                                        dtype)),
+        scratch_shapes=scratch,
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),

@@ -381,10 +381,11 @@ def make_multi_scan(sd, k_chunk: int = 16):
     if not cfg.conserve_linear_p:
         raise NotImplementedError("multi-step kernel: conserve_linear_p "
                                   "formulations only")
-    if sd.rk_order != 1:
-        raise NotImplementedError("multi-step kernel: rk_order == 1 only")
+    if sd.rk_order not in (1, 2):
+        raise NotImplementedError("multi-step kernel: rk_order 1 or 2")
     if cfg.reconstruct_method not in ("plm", "pcm"):
         raise NotImplementedError(cfg.reconstruct_method)
+    rk = sd.rk_order
 
     xc, dA, spacing, xf, yf = (np.asarray(a) for a in sd.geometry)
     B, bs = xc.shape[0], cfg.block_size
@@ -435,18 +436,26 @@ def make_multi_scan(sd, k_chunk: int = 16):
             k_steps=k_chunk, K2=K2, B=B, Bp=Bp, bs=bs,
             cfl=sd.cfl_number, theta=theta, cfg_tuple=cfg_tuple,
             cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed,
-            interpret=interpret)
+            rk_order=rk, interpret=interpret)
+        # rows are per STAGE: k_chunk * rk of them
         rows_raw = rows_raw.astype(s["time"].dtype)
-        dts = rows_raw[:, BM.ROW_DT, 0]
-        invalids = rows_raw[:, BM.ROW_INVALID, 0]
-        # step-start times exactly as the kernel's hydro used them (a
+        dts_st = rows_raw[:, BM.ROW_DT, 0]
+        inv_st = rows_raw[:, BM.ROW_INVALID, 0]
+        # stage-start times exactly as the kernel's hydro used them (a
         # cumsum here is 1 ulp off and the near-circular orbital-element
         # inversion amplifies that to ~1e-9 in the drift diagnostics)
-        t_prev = rows_raw[:, BM.ROW_TPREV, 0]
-        t_after = t_prev + dts
+        t_st = rows_raw[:, BM.ROW_TPREV, 0]
+        dts = dts_st[0::rk]
+        invalids = jnp.max(inv_st.reshape(k_chunk, rk), axis=1)
+        if rk == 1:
+            t_after = t_st + dts
+        else:
+            # the same float ops as the kernel's time update (and the
+            # per-step path's tree.map average of t with t + 2dt)
+            t_after = 0.5 * t_st[0::2] + 0.5 * (t_st[1::2] + dts)
         its = s["iteration"] + 1 + jnp.arange(k_chunk, dtype=jnp.int32)
 
-        # per-step totals dicts (the _finish_advance row mapping)
+        # per-STAGE totals dicts (the _finish_advance row mapping)
         tk = {
             "mass_accreted_on": rows_raw[:, 0, :2],
             "angular_momentum_accreted_on": rows_raw[:, 1, :2],
@@ -459,11 +468,13 @@ def make_multi_scan(sd, k_chunk: int = 16):
             "angular_momentum_ejected": rows_raw[:, 8, 0],
         }
 
-        # bookkeeping vmapped over the chunk (binary_step.stage, with
-        # live == 0 so the elements the hydro saw are exactly s["oe"])
+        # bookkeeping vmapped over all stages of the chunk (binary_step.
+        # stage, with live == 0 so the elements the hydro saw are exactly
+        # s["oe"]); for rk2 the 1/2-1/2 state average makes each stage's
+        # bookkeeping increment count with weight 1/2
         E0 = s["oe"]
         bodies_k = jax.vmap(
-            lambda t: tbj.compute_two_body_state(E0, t))(t_prev)
+            lambda t: tbj.compute_two_body_state(E0, t))(t_st)
         m = bodies_k[:, :, 0]
         vx = bodies_k[:, :, 3]
         vy = bodies_k[:, :, 4]
@@ -485,29 +496,34 @@ def make_multi_scan(sd, k_chunk: int = 16):
         both = jnp.stack([acc_bodies, grv_bodies])        # [2, k, 2, 5]
         e_both = jax.vmap(jax.vmap(tbj.compute_orbital_elements,
                                    in_axes=(0, 0)),
-                          in_axes=(0, None))(both, t_prev)
+                          in_axes=(0, None))(both, t_st)
         d_both = jax.vmap(jax.vmap(tbj.diff, in_axes=(None, 0)),
                           in_axes=(None, 0))(E0, e_both)
-        d_acc = jnp.sum(d_both[0], axis=0)
-        d_grv = jnp.sum(d_both[1], axis=0)
-        work_k = jax.vmap(_work_done)(tk, bodies_k)       # [k, 2]
+        # stage weight: the rk2 1/2-1/2 state average halves every
+        # per-stage bookkeeping increment (avg(s, stage(stage(s))) =
+        # s + (D1 + D2) / 2)
+        w = 1.0 / rk
+        d_acc = w * jnp.sum(d_both[0], axis=0)
+        d_grv = w * jnp.sum(d_both[1], axis=0)
+        work_k = jax.vmap(_work_done)(tk, bodies_k)       # [k*rk, 2]
 
         s1 = {
             "time": t_after[k_chunk - 1],
             "iteration": s["iteration"] + k_chunk,
             "conserved": u_out[:B],
             "mass_accreted_on": s["mass_accreted_on"]
-                + jnp.sum(tk["mass_accreted_on"], axis=0),
+                + w * jnp.sum(tk["mass_accreted_on"], axis=0),
             "angular_momentum_accreted_on":
                 s["angular_momentum_accreted_on"]
-                + jnp.sum(tk["angular_momentum_accreted_on"], axis=0),
+                + w * jnp.sum(tk["angular_momentum_accreted_on"], axis=0),
             "integrated_torque_on": s["integrated_torque_on"]
-                + jnp.sum(tk["integrated_torque_on"], axis=0),
-            "work_done_on": s["work_done_on"] + jnp.sum(work_k, axis=0),
+                + w * jnp.sum(tk["integrated_torque_on"], axis=0),
+            "work_done_on": s["work_done_on"]
+                + w * jnp.sum(work_k, axis=0),
             "mass_ejected": s["mass_ejected"]
-                + jnp.sum(tk["mass_ejected"]),
+                + w * jnp.sum(tk["mass_ejected"]),
             "angular_momentum_ejected": s["angular_momentum_ejected"]
-                + jnp.sum(tk["angular_momentum_ejected"]),
+                + w * jnp.sum(tk["angular_momentum_ejected"]),
             "oe_acc": s["oe_acc"] + d_acc,
             "oe_grav": s["oe_grav"] + d_grv,
             "oe": E0,                       # not live in this path

@@ -73,3 +73,38 @@ def test_multi_scan_fault_flag_rides_rows():
     _, rows = multi(dict(s0), 4)
     I = binary_step.INFO_INDEX
     assert np.asarray(rows)[:, I["invalid"]].any()
+
+
+def test_multi_scan_matches_fast_scan_rk2():
+    """rk_order=2 (the reference's default): two in-kernel stages + the
+    1/2-1/2 average, per-stage bookkeeping rows. Same comparison as the
+    rk1 test."""
+    cfg, sd, s0 = make_setup({"rk_order": 2})
+    n, k = 8, 4
+    fast = binary_step.make_fast_scan(sd)
+    multi = binary_step.make_multi_scan(sd, k_chunk=k)
+
+    s_f, rows_f = fast(dict(s0), n)
+    s_m, rows_m = multi(dict(s0), n)
+
+    rows_f = np.asarray(rows_f)
+    rows_m = np.asarray(rows_m)
+    I = binary_step.INFO_INDEX
+    np.testing.assert_allclose(rows_m[:, I["dt"]], rows_f[:, I["dt"]],
+                               rtol=1e-12)
+    np.testing.assert_allclose(rows_m[:, I["time"]], rows_f[:, I["time"]],
+                               rtol=1e-12)
+    assert not rows_m[:, I["invalid"]].any()
+    np.testing.assert_allclose(np.asarray(s_m["conserved"]),
+                               np.asarray(s_f["conserved"]),
+                               rtol=1e-10, atol=1e-13)
+    for key in ("mass_accreted_on", "angular_momentum_accreted_on",
+                "integrated_torque_on", "work_done_on", "mass_ejected",
+                "angular_momentum_ejected", "oe_acc", "oe_grav", "oe"):
+        # atol 1e-10 on the orbital-element drift diagnostics: stage 2
+        # consumes stage 1's ulp-different state (iota-rebuilt positions
+        # vs precomputed centers) and the near-circular eccentricity
+        # inversion amplifies that to ~1e-11 absolute
+        np.testing.assert_allclose(np.asarray(s_m[key]),
+                                   np.asarray(s_f[key]),
+                                   rtol=1e-6, atol=1e-10, err_msg=key)
