@@ -108,3 +108,19 @@ def test_multi_scan_matches_fast_scan_rk2():
         np.testing.assert_allclose(np.asarray(s_m[key]),
                                    np.asarray(s_f[key]),
                                    rtol=1e-6, atol=1e-10, err_msg=key)
+
+
+def test_multi_scan_hllc_matches_fast_scan():
+    """riemann=hllc flows through _main_update_vals unchanged; one chunk
+    must match the per-step scan like the hlle tests do."""
+    cfg, sd, s0 = make_setup({"riemann": "hllc"})
+    fast = binary_step.make_fast_scan(sd)
+    multi = binary_step.make_multi_scan(sd, k_chunk=4)
+    s_f, rows_f = fast(dict(s0), 4)
+    s_m, rows_m = multi(dict(s0), 4)
+    I = binary_step.INFO_INDEX
+    np.testing.assert_allclose(np.asarray(rows_m)[:, I["dt"]],
+                               np.asarray(rows_f)[:, I["dt"]], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_m["conserved"]),
+                               np.asarray(s_f["conserved"]),
+                               rtol=1e-10, atol=1e-13)
