@@ -1,0 +1,51 @@
+#!/bin/bash
+# Serialized TPU measurement queue (CLAUDE.md round-4 list). One job at a
+# time — host dispatch latency is part of what the benchmarks measure.
+# Usage: nohup bash benchmarks/run_tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+echo "=== TPU queue start $(date) ==="
+
+probe() {
+  timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1
+}
+
+if ! probe; then
+  echo "tunnel unreachable at queue start; aborting"
+  exit 1
+fi
+
+run() {
+  local name="$1"; shift
+  echo "--- $name start $(date)"
+  timeout 3600 "$@" > "/tmp/q_${name}.log" 2>&1
+  local rc=$?
+  echo "--- $name done rc=$rc $(date)"
+  tail -n 4 "/tmp/q_${name}.log" | grep -v "WARNING\|cpu_aot\|machine feature" || true
+}
+
+# 0: the official artifact first, in case the tunnel flaps
+run bench0 python bench.py
+
+# 1: hardware compile smoke for every fused kernel (incl. binary_multi)
+run smoke env MARA3_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
+
+# 2: the new multi-step flagship kernel vs the per-step scan
+run bmulti python benchmarks/bench_all.py configs=binary_multi,binary repeat=3
+
+# 3: flagship full-step decomposition (LEAN rows + unrolled Kepler)
+run bdecomp python benchmarks/bench_binary_decomp.py
+
+# 4: cloud chunk=1 Newton (target <= 1.8 ms/step)
+run bcloud python benchmarks/bench_all.py configs=cloud repeat=3
+
+# 5: fused sedov/amrsand kernels (check the path field!)
+run bkern python benchmarks/bench_all.py configs=sedov,sedov_srhd,amrsand repeat=3
+
+# 6: bf16 ceiling trial (PRECISION.md accept/reject)
+run bf16 python benchmarks/bench_bf16_trial.py
+
+# 7: the official bench again (warm caches, confirm stability)
+run bench1 python bench.py
+
+echo "=== TPU queue done $(date) ==="
