@@ -355,7 +355,7 @@ def _wrap_trailing(trailing_adv, uT, bodies, dt, theta):
     return jnp.transpose(u1, (0, 3, 1, 2)), totals, invalid
 
 
-def make_multi_scan(sd, k_chunk: int = 16):
+def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     """Fast scan with K steps per Pallas LAUNCH (kernels/binary_multi.py):
     CFL + Kepler + guard exchange + advance + flux correction all run
     in-kernel; the orbital-element bookkeeping (the ~60-op scalar chain
@@ -389,7 +389,13 @@ def make_multi_scan(sd, k_chunk: int = 16):
 
     xc, dA, spacing, xf, yf = (np.asarray(a) for a in sd.geometry)
     B, bs = xc.shape[0], cfg.block_size
-    K2, Bp = pick_chunk(B, bs)
+    if K2 is None:
+        K2, Bp = pick_chunk(B, bs)
+    else:
+        # explicit in-kernel chunk (hardware tuning knob): Bp = the next
+        # multiple of K2 that also keeps the 8-row pad alignment
+        step_align = np.lcm(K2, 8)
+        Bp = -(-B // step_align) * step_align
     pad = Bp - B
     dtype = jnp.asarray(sd.initial_conserved).dtype
 
