@@ -135,29 +135,31 @@ def _dot(a, b):
 
 
 def _guard_from_edges(E, side_slots, Wg, Mg, T, Bp, C, bs):
-    """One-cell guard strips [4?, ...] for ONE face f from the mesh-wide
-    edge tensor E [Bp, C, S, bs] via one-hot matmuls. `side_slots` =
-    (edge_slot, inner_slot) in E for the neighbor's facing rows.
-    Wg/Mg are the [4, Bp, Bp] / [4, Bp, 1] slot tables of face f.
+    """One-cell guard strips [Bp, C, bs] for ONE face f from the
+    mesh-wide edge tensor E [Bp, C, S, bs] via one-hot matmuls.
+    `side_slots` = (edge_slot, inner_slot) in E for the neighbor's facing
+    rows. Wg/Mg are the [4, Bp, Bp] / [4, Bp, 1] slot tables of face f.
     Mirrors block_layout.guard_strips_from_edges bit-for-bit (same
-    one-hot dots, same 0.5 fine-average order)."""
-    e_edge = E[:, :, side_slots[0]].reshape(Bp, C * bs)
-    e_inner = E[:, :, side_slots[1]].reshape(Bp, C * bs)
+    one-hot dots, same 0.5 fine-average order).
+
+    All contractions are plain 2-D matmuls unrolled over the C
+    components — a (Bp, C, bs) -> (Bp, C*bs) reshape would merge C into
+    the lane axis, a relayout Mosaic handles poorly (if at all)."""
     Mh0, Mh1, Pf0, Pf1 = T[0], T[1], T[2], T[3]
-
-    def lanes(a, M):
-        # [Bp, C*bs] x [bs, bs] on the lane axis, per component
-        return _dot(a.reshape(Bp * C, bs), M).reshape(Bp, C * bs)
-
-    same = _dot(Wg[0], e_edge)
-    crow = _dot(Wg[1], e_edge)
-    coarse = (Mg[2] * lanes(crow, Mh0)
-              + (Mg[1] - Mg[2]) * lanes(crow, Mh1))
-    a0 = 0.5 * (_dot(Wg[2], e_inner) + _dot(Wg[2], e_edge))
-    a1 = 0.5 * (_dot(Wg[3], e_inner) + _dot(Wg[3], e_edge))
-    fine = lanes(a0, Pf0) + lanes(a1, Pf1)
-    out = Mg[0] * same + coarse + Mg[3] * fine
-    return out.reshape(Bp, C, bs)
+    m0, m1, m2, m3 = Mg[0], Mg[1], Mg[2], Mg[3]
+    outs = []
+    for c in range(C):
+        e_edge = E[:, c, side_slots[0]]          # [Bp, bs]
+        e_inner = E[:, c, side_slots[1]]
+        same = _dot(Wg[0], e_edge)
+        crow = _dot(Wg[1], e_edge)
+        coarse = (m2 * _dot(crow, Mh0)
+                  + (m1 - m2) * _dot(crow, Mh1))
+        a0 = 0.5 * (_dot(Wg[2], e_inner) + _dot(Wg[2], e_edge))
+        a1 = 0.5 * (_dot(Wg[3], e_inner) + _dot(Wg[3], e_edge))
+        fine = _dot(a0, Pf0) + _dot(a1, Pf1)
+        outs.append(m0 * same + coarse + m3 * fine)
+    return jnp.stack(outs, axis=1)
 
 
 def _plm_val(yl, y0, yr, theta):
@@ -429,10 +431,13 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         dtdA = dt / (spl * spl)
 
         def restricted(strips, f):
-            sf = strips.reshape(Bp, C * bs)
-            a0 = _dot(Wc[f, 0], sf).reshape(Bp * C, bs)
-            a1 = _dot(Wc[f, 1], sf).reshape(Bp * C, bs)
-            return (_dot(a0, Rm[0]) + _dot(a1, Rm[1])).reshape(Bp, C, bs)
+            # per-component 2-D matmuls (no C-into-lanes reshape)
+            outs = []
+            for c in range(C):
+                a0 = _dot(Wc[f, 0], strips[:, c])
+                a1 = _dot(Wc[f, 1], strips[:, c])
+                outs.append(_dot(a0, Rm[0]) + _dot(a1, Rm[1]))
+            return jnp.stack(outs, axis=1)
 
         d_xlo = (restricted(fxhi_all, 0) - fxlo_all) * dtdA * Fm[0, :, :, None]
         d_xhi = (restricted(fxlo_all, 1) - fxhi_all) * dtdA * Fm[1, :, :, None]
