@@ -173,6 +173,20 @@ def _hlle_viscous(pl_, pr_, gl, gr, hl, hr, x, y, sp, bodies, axis,
     return fhat * sp
 
 
+def _plm_kernel(yl, y0, yr, theta):
+    """The kernel PLM gradient (mathx/plm.py formula, jnp.sign spelling)
+    shared by _kernel, _kernel2, and the multi-step kernel
+    (binary_multi._plm_val aliases this)."""
+    a = (y0 - yl) * theta
+    b = (yr - yl) * 0.5
+    c = (yr - y0) * theta
+    sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
+    sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
+    sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
+    mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+    return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+
+
 def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
             geo_ref, init_ref, sp_ref, mask_ref,
             u1_ref, fxlo_ref, fxhi_ref, fylo_ref, fyhi_ref, totals_ref,
@@ -205,14 +219,7 @@ def _kernel(dt_ref, bodies_ref, theta_ref, u0_ref, p_ref, strips_ref,
     theta = theta_ref[0, 0]
 
     def plm(yl, y0, yr):
-        a = (y0 - yl) * theta
-        b = (yr - yl) * 0.5
-        c = (yr - y0) * theta
-        sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
-        sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
-        sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
-        mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
-        return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+        return _plm_kernel(yl, y0, yr, theta)
 
     gx = plm(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:]) / sp
     gy = plm(pey[:, :, :, :-2], pey[:, :, :, 1:-1], pey[:, :, :, 2:]) / sp
@@ -514,14 +521,7 @@ def _kernel2(dt_ref, bodies_ref, theta_ref, tab_ref, spall_ref,
     mask = mask_ref[...][..., None]
 
     def plm(yl, y0, yr):
-        a = (y0 - yl) * theta
-        b = (yr - yl) * 0.5
-        c = (yr - y0) * theta
-        sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
-        sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
-        sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
-        mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
-        return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
+        return _plm_kernel(yl, y0, yr, theta)
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
 

@@ -53,7 +53,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mara3_tpu.kernels.binary_advance import _main_update_vals, pick_chunk
+from mara3_tpu.kernels.binary_advance import (_main_update_vals,
+                                              _plm_kernel as _plm_val,
+                                              pick_chunk)
 from mara3_tpu.mesh import block_layout
 
 # rows of the per-step [16, 128] output tile beyond the totals entries
@@ -160,18 +162,6 @@ def _guard_from_edges(E, side_slots, Wg, Mg, T, Bp, C, bs):
         fine = _dot(a0, Pf0) + _dot(a1, Pf1)
         outs.append(m0 * same + coarse + m3 * fine)
     return jnp.stack(outs, axis=1)
-
-
-def _plm_val(yl, y0, yr, theta):
-    """The kernel PLM (binary_advance._kernel form — sign via jnp.sign)."""
-    a = (y0 - yl) * theta
-    b = (yr - yl) * 0.5
-    c = (yr - y0) * theta
-    sa = jnp.where(jnp.sign(a) == 0, 1.0, jnp.sign(a))
-    sb = jnp.where(jnp.sign(b) == 0, 1.0, jnp.sign(b))
-    sc = jnp.where(jnp.sign(c) == 0, 1.0, jnp.sign(c))
-    mn = jnp.minimum(jnp.minimum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
-    return 0.25 * jnp.abs(sa + sb) * (sa + sc) * mn
 
 
 def _scalar(v):
