@@ -402,3 +402,40 @@ def test_guard_strips_all_bitwise_matches_per_axis():
     got = BL.guard_strips_all(pT, consts, BL.GuardAllTables(nt, bs))
     for g, r in zip(got, ref):
         assert np.array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_get_vertex_block_three_cases():
+    """API parity with mara::get_vertex_block (mesh_tree_operators.hpp:
+    254-292; reference test 'can manufacture vertex blocks',
+    mesh_test.cpp:113): same-level leaf, prolonged parent quadrant,
+    combined + coarsened children. Vertex blocks are (bs+1, bs+1);
+    pointwise linear prolongation reproduces a LINEAR vertex field
+    exactly, so all three cases check against the analytic field."""
+    leaves = sorted(
+        {(1, 1, 0), (1, 0, 1), (1, 1, 1)} | set(tree.children((1, 0, 0))),
+        key=tree.hilbert_key)
+    bs = 4
+
+    def verts_of(leaf):
+        level, i, j = leaf
+        n = 1 << level
+        xs = (i + np.arange(bs + 1) / bs) / n
+        ys = (j + np.arange(bs + 1) / bs) / n
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        return 2.0 * X - 3.0 * Y + 0.25        # linear field
+
+    V = np.stack([verts_of(l) for l in leaves])[..., None]
+
+    # case 1: leaf present
+    got = block_layout.get_vertex_block(leaves, V, (1, 1, 0))
+    np.testing.assert_array_equal(got, V[leaves.index((1, 1, 0))])
+
+    # case 2: finer index under a coarse leaf -> prolonged quadrant
+    got = block_layout.get_vertex_block(leaves, V, (2, 2, 0))
+    np.testing.assert_allclose(np.asarray(got)[..., 0],
+                               verts_of((2, 2, 0)), rtol=1e-13)
+
+    # case 3: coarser index over fine leaves -> combined + coarsened
+    got = block_layout.get_vertex_block(leaves, V, (1, 0, 0))
+    np.testing.assert_allclose(np.asarray(got)[..., 0],
+                               verts_of((1, 0, 0)), rtol=1e-13)
