@@ -53,3 +53,16 @@ def test_type_registry_round_trips(tmp_path):
         S.write(f, "sample", Sample(1.5, 7))
         got = S.read(f, "sample", Sample)
         assert got == Sample(1.5, 7)
+
+
+def test_tree_index_format_matches_reference_exactly():
+    """The exact strings the reference's Catch2 case asserts
+    (app_test.cpp:375 'trees can be written to HDF5'): zero padding to
+    the digit count of 2^level."""
+    from mara3_tpu.app.serialize import format_tree_index, read_tree_index
+    assert format_tree_index(0, (0, 0, 0)) == "0:0-0-0"
+    assert format_tree_index(3, (5, 6, 7)) == "3:5-6-7"
+    assert format_tree_index(5, (1, 16, 17)) == "5:01-16-17"
+    assert format_tree_index(8, (1, 2)) == "8:001-002"
+    assert read_tree_index("8:000-000-000") == (8, (0, 0, 0))
+    assert read_tree_index("8:001-002-255") == (8, (1, 2, 255))
