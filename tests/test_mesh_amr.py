@@ -439,3 +439,24 @@ def test_get_vertex_block_three_cases():
     got = block_layout.get_vertex_block(leaves, V, (1, 0, 0))
     np.testing.assert_allclose(np.asarray(got)[..., 0],
                                verts_of((1, 0, 0)), rtol=1e-13)
+
+
+def test_tree_index_methods_match_reference_semantics():
+    """Reference core_test.cpp:187 'binary tree indexes methods':
+    prev_on/next_on with wrap-around at the level's extent, validity,
+    parent/children coordinate arithmetic (our 2d quadtree terms)."""
+    # prev_on/next_on incl. wrap (tree.neighbor is the 2d analog)
+    assert tree.neighbor((3, 3, 4), 0, 0) == (3, 2, 4)
+    assert tree.neighbor((3, 3, 4), 0, 1) == (3, 4, 4)
+    assert tree.neighbor((3, 0, 4), 0, 0) == (3, 7, 4)     # wrap low
+    assert tree.neighbor((3, 7, 4), 0, 1) == (3, 0, 4)     # wrap high
+    assert tree.neighbor((3, 3, 0), 1, 0) == (3, 3, 7)
+    assert tree.neighbor((3, 4, 7), 1, 1) == (3, 4, 0)
+    # parent/children arithmetic (child k covers x-half k&1, y-half k>>1)
+    assert tree.parent((3, 3, 4)) == (2, 1, 2)
+    kids = tree.children((1, 0, 0))
+    assert kids == [(2, 0, 0), (2, 1, 0), (2, 0, 1), (2, 1, 1)]
+    for k in kids:
+        assert tree.parent(k) == (1, 0, 0)
+        assert tree.is_inside(k, (1, 0, 0))
+    assert not tree.is_inside((2, 2, 0), (1, 0, 0))
