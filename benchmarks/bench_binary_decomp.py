@@ -108,6 +108,26 @@ def main():
     print(json.dumps({"case": "advance", "ms_per_step": per * 1e3,
                       "zps": nz / per}), flush=True)
 
+    # multi-step kernel at two launch chunks (K complete steps/launch;
+    # kernels/binary_multi.py) — the r4 full-step vehicle
+    for k in (8, 16):
+        try:
+            scan_multi = binary_step.make_multi_scan(sd, k_chunk=k)
+        except NotImplementedError as e:
+            print(json.dumps({"case": f"multi_k{k}", "error": repr(e)}),
+                  flush=True)
+            continue
+
+        def fm(n, _scan=scan_multi):
+            s, rows = _scan(s0, n)
+            return s["conserved"]
+
+        per = marginal(fm, k, k * 13)
+        print(json.dumps({"case": f"multi_k{k}", "ms_per_step": per * 1e3,
+                          "zps": nz / per,
+                          "path": f"pallas:binary_multi(k={k})"}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
