@@ -125,6 +125,39 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0):
                 zones=nz, zps=zps, ms_per_step=per * 1e3, path=path)
 
 
+def bench_cloud_multi(repeat):
+    """n COMPLETE RK2 steps per launch (cloud_update.fused_run_rk2)."""
+    from mara3_tpu.subprograms import cloud
+    cfg = cloud.config_template().create().update({"nr": 1024})
+    units = cloud.make_reference_units(cfg)
+    state = cloud.new_solution(cfg)
+    nz = state.conserved.shape[0] * state.conserved.shape[1]
+    jet = cloud.make_jet_nozzle_model(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(state.radial_vertices[1] - state.radial_vertices[0]) \
+        * cfg.get_double("cfl_number")
+    rv, qv = state.radial_vertices, state.polar_vertices
+    us0 = jnp.moveaxis(jnp.asarray(state.conserved), -1, 0)
+    p0 = jnp.zeros(us0.shape[1:], us0.dtype)
+    theta = cfg.get_double("plm_theta")
+    tf = cfg.get_double("temperature_floor")
+
+    fns = {}
+
+    def f(n: int):
+        if n not in fns:
+            fns[n] = jax.jit(lambda u, p: cloud.advance_n_rk2_soa(
+                u, p, state.time, rv, qv, jet_static, dt, theta, 2, tf,
+                n)[0])
+        return fns[n](us0, p0)
+
+    zps, per = _marginal(f, nz, 6, 46, repeat)
+    return dict(config="cloud_srhd_1024_multi", zones=nz, zps=zps,
+                ms_per_step=per * 1e3,
+                path="pallas:cloud_update.fused_run_rk2")
+
+
 def bench_cloud(repeat):
     from mara3_tpu.subprograms import cloud
     cfg = cloud.config_template().create().update({"nr": 1024})
@@ -202,7 +235,8 @@ BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                                                          multi=16),
                sedov_srhd=lambda repeat: bench_sedov(repeat, newtonian=0),
                sedov_jnp=lambda repeat: bench_sedov(repeat, kernel=False),
-               cloud=bench_cloud, amrsand=bench_amrsand)
+               cloud=bench_cloud, cloud_multi=bench_cloud_multi,
+               amrsand=bench_amrsand)
 
 
 def main():

@@ -37,7 +37,7 @@ run bmulti python benchmarks/bench_all.py configs=binary_multi,binary repeat=3
 run bdecomp python benchmarks/bench_binary_decomp.py
 
 # 4: cloud chunk=1 Newton (target <= 1.8 ms/step)
-run bcloud python benchmarks/bench_all.py configs=cloud repeat=3
+run bcloud python benchmarks/bench_all.py configs=cloud,cloud_multi repeat=3
 
 # 5: fused sedov/amrsand kernels (check the path field!)
 run bkern python benchmarks/bench_all.py configs=sedov,sedov_srhd,amrsand repeat=3

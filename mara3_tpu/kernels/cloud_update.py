@@ -598,31 +598,15 @@ def _stage_window(Pw, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
                  for k in range(5))
 
 
-def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
-                invr_ref, cotq_ref, daql_ref, daqh_ref,
-                uout_ref, pout_ref,
-                ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
-                u1w_s, p_scr, w_scr, done_scr,
-                sems,
-                *, TX, NQ, NR, dt, theta, method, tfloor):
-    i = pl.program_id(0)
-
-    dmas = []
-    for k, (ref, scratch, rows) in enumerate((
-            (ue_ref, ue_s, True), (pg_ref, pg_s, False),
-            (dvw_ref, dvw_s, False), (dar_ref, dar_s, False),
-            (invr_ref, invr_s, False), (cotq_ref, cotq_s, False),
-            (daql_ref, daql_s, False), (daqh_ref, daqh_s, False))):
-        src = ref.at[:, pl.ds(i * TX, TX + 8)] if rows \
-            else ref.at[pl.ds(i * TX, TX + 8)]
-        dma = pltpu.make_async_copy(src, scratch, sems.at[k])
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-
-    # window row w <-> interior row g = i*TX - 4 + w
-    g0 = i * TX - 4
+def _rk2_body(inflow1, inflow2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+              daql_s, daqh_s, u1w_s, p_scr, w_scr, done_scr,
+              *, TX, NQ, NR, g0, dt, theta, method, tfloor):
+    """Both RK2 stages + the Shu-Osher average on ONE (TX+8, NQ) window
+    whose first row is interior row g0. inflow1/inflow2 are [5, NQ]
+    VALUES (the per-step kernel reads them from VMEM refs, the n-step
+    kernel slices them from the per-step inflow stack). Returns
+    (u_rk2 rows on window rows 4..TX+3, p2 rows same) — the caller picks
+    the rows it owns. All scratch refs are sized for THIS window."""
     rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 8, NQ), 0) + g0
     interior = jnp.logical_and(rw >= 0, rw < NR)
     # fresh iota at the target shape — slicing the lane-replicated rw
@@ -638,13 +622,13 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
     daqlw = daql_s[...]
     daqhw = daqh_s[...]
 
-    def with_bc(P5, inflow_ref):
+    def with_bc(P5, inflow):
         """Substitute the inflow guard row (g = -1) and the zero-gradient
         outer guard (g = NR, copy of the row below)."""
         shifted = tuple(pltpu.roll(c, 1, 0) for c in P5)
         out = []
         for k in range(5):
-            c = jnp.where(rw == -1, inflow_ref[k], P5[k])
+            c = jnp.where(rw == -1, inflow[k], P5[k])
             c = jnp.where(rw == NR, shifted[k], c)
             out.append(c)
         return tuple(out)
@@ -658,7 +642,7 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
     done0 = 1.0 - interior.astype(p0.dtype)
     P1, _ = _recover_window(Uw, jnp.where(interior, p0, 0.0), done0,
                             tfloor, p_scr, w_scr, done_scr)
-    Pw1 = with_bc(P1, inflow1_ref)
+    Pw1 = with_bc(P1, inflow1)
 
     U1 = _stage_window(Pw1, u0w, darw, dvw, invrw, cotqw, daqlw, daqhw,
                        gzero_rows, dt, theta, method, TX, NQ)
@@ -684,16 +668,51 @@ def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
     done2 = 1.0 - valid2.astype(p1.dtype)
     P2, _ = _recover_window(Uw2, jnp.where(valid2, p1, 0.0), done2,
                             tfloor, p_scr, w_scr, done_scr)
-    Pw2 = with_bc(P2, inflow2_ref)
+    Pw2 = with_bc(P2, inflow2)
 
     U2 = _stage_window(Pw2, u1w, darw, dvw, invrw, cotqw, daqlw, daqhw,
                        gzero_rows, dt, theta, method, TX, NQ)
 
-    # ---- output rows g = i*TX..i*TX+TX-1 are window rows 4..TX+3 =
-    # U-array indices 2..TX+1; Shu-Osher average
+    # ---- rows g = g0+4..g0+TX+3 are window rows 4..TX+3 = U-array
+    # indices 2..TX+1; Shu-Osher average
+    u_out = tuple(0.5 * u0w[k][4:TX + 4] + 0.5 * U2[k][2:TX + 2]
+                  for k in range(5))
+    return u_out, P2[4][4:TX + 4]
+
+
+def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
+                invr_ref, cotq_ref, daql_ref, daqh_ref,
+                uout_ref, pout_ref,
+                ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
+                u1w_s, p_scr, w_scr, done_scr,
+                sems,
+                *, TX, NQ, NR, dt, theta, method, tfloor):
+    i = pl.program_id(0)
+
+    dmas = []
+    for k, (ref, scratch, rows) in enumerate((
+            (ue_ref, ue_s, True), (pg_ref, pg_s, False),
+            (dvw_ref, dvw_s, False), (dar_ref, dar_s, False),
+            (invr_ref, invr_s, False), (cotq_ref, cotq_s, False),
+            (daql_ref, daql_s, False), (daqh_ref, daqh_s, False))):
+        src = ref.at[:, pl.ds(i * TX, TX + 8)] if rows \
+            else ref.at[pl.ds(i * TX, TX + 8)]
+        dma = pltpu.make_async_copy(src, scratch, sems.at[k])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    inflow1 = tuple(inflow1_ref[k] for k in range(5))
+    inflow2 = tuple(inflow2_ref[k] for k in range(5))
+    u_out, p_out = _rk2_body(
+        inflow1, inflow2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+        daql_s, daqh_s, u1w_s, p_scr, w_scr, done_scr,
+        TX=TX, NQ=NQ, NR=NR, g0=i * TX - 4, dt=dt, theta=theta,
+        method=method, tfloor=tfloor)
     for k in range(5):
-        uout_ref[k] = 0.5 * u0w[k][4:TX + 4] + 0.5 * U2[k][2:TX + 2]
-    pout_ref[...] = P2[4][4:TX + 4]
+        uout_ref[k] = u_out[k]
+    pout_ref[...] = p_out
 
 
 def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
@@ -756,3 +775,136 @@ def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(inflow1, inflow2, ue3, pg3, dv3, dar3, invr3, cotq3, daql3, daqh3)
+
+
+def _kernel_run(inflows_ref, u_in_ref, p_in_ref, dv_ref, dar_ref,
+                invr_ref, cotq_ref, daql_ref, daqh_ref,
+                uA_ref, uB_ref, pA_ref, pB_ref,
+                ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
+                u1w_s, p_scr, w_scr, done_scr, ustage, pstage, sems,
+                *, n_pairs, gi, TX, NQ, NR, dt, theta, method, tfloor):
+    # u_in/p_in alias uA/pA (input_output_aliases); all access goes
+    # through the A/B refs
+    del u_in_ref, p_in_ref
+    TXb = TX + 8         # the body's nominal TX: window TXb + 8 = TX + 16
+
+    def do_step(s_idx, src_u, src_p, dst_u, dst_p):
+        infl1 = inflows_ref[pl.ds(s_idx, 1)][0]          # [5, NQ]
+        infl2 = inflows_ref[pl.ds(s_idx + 1, 1)][0]
+        i1 = tuple(infl1[k] for k in range(5))
+        i2 = tuple(infl2[k] for k in range(5))
+
+        def tile(i, carry):
+            dmas = []
+            for k, (ref, scratch, rows) in enumerate((
+                    (src_u, ue_s, True), (src_p, pg_s, False),
+                    (dv_ref, dvw_s, False), (dar_ref, dar_s, False),
+                    (invr_ref, invr_s, False), (cotq_ref, cotq_s, False),
+                    (daql_ref, daql_s, False), (daqh_ref, daqh_s, False))):
+                src = ref.at[:, pl.ds(i * TX, TX + 16)] if rows \
+                    else ref.at[pl.ds(i * TX, TX + 16)]
+                dma = pltpu.make_async_copy(src, scratch, sems.at[k])
+                dma.start()
+                dmas.append(dma)
+            for dma in dmas:
+                dma.wait()
+
+            u_out, p_out = _rk2_body(
+                i1, i2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+                daql_s, daqh_s, u1w_s, p_scr, w_scr, done_scr,
+                TX=TXb, NQ=NQ, NR=NR, g0=i * TX - 8, dt=dt, theta=theta,
+                method=method, tfloor=tfloor)
+            # body output rows <-> interior i*TX-4 .. i*TX+TX+3; this
+            # tile owns i*TX .. i*TX+TX-1 = output indices 4 .. TX+3
+            for k in range(5):
+                ustage[k] = u_out[k][4:TX + 4]
+            pstage[...] = p_out[4:TX + 4]
+            w1 = pltpu.make_async_copy(
+                ustage, dst_u.at[:, pl.ds(i * TX + 8, TX)], sems.at[8])
+            w2 = pltpu.make_async_copy(
+                pstage, dst_p.at[pl.ds(i * TX + 8, TX)], sems.at[9])
+            w1.start()
+            w2.start()
+            w1.wait()
+            w2.wait()
+            return carry
+
+        jax.lax.fori_loop(0, gi, tile, 0)
+
+    def pair(it, carry):
+        # ping-pong with STATICALLY-known refs: two steps per iteration
+        # (iso2d_step_v5's buffer-parity trick)
+        do_step(2 * it, uA_ref, pA_ref, uB_ref, pB_ref)
+        do_step(2 * it + 1, uB_ref, pB_ref, uA_ref, pA_ref)
+        return carry
+
+    jax.lax.fori_loop(0, n_pairs, pair, 0)
+
+
+def fused_run_rk2(inflows, u_soa, p_guess, dv, invr, cotq, dAr,
+                  daq_lo, daq_hi, dt, plm_theta, method, tfloor, TX=64,
+                  interpret=False):
+    """n COMPLETE RK2 steps in ONE launch (n = inflows.shape[0] - 1,
+    must be even): HBM ping-pong between two padded state buffers, each
+    step streaming radial tiles through VMEM windows exactly as
+    fused_step_rk2 does — the per-step launch dispatch and the
+    inter-launch inflow/pad jnp ops disappear. dt is STATIC in the cloud
+    scheme (dr_min * cfl), so `inflows` [n+1, 5, NQ] carries the
+    time-dependent jet-nozzle guard row for every stage boundary
+    (step s uses rows s and s+1). Returns (u_after_n, p_after_n);
+    per-cell identical to n chained fused_step_rk2 calls (the pressure
+    warm-start carry included)."""
+    n = inflows.shape[0] - 1
+    assert n >= 2 and n % 2 == 0, n
+    _, NR, NQ = u_soa.shape
+    assert NR % TX == 0 and NQ % 128 == 0 and TX % 8 == 0
+    gi = NR // TX
+    dtype = u_soa.dtype
+
+    # pad 8 rows each side so every window fetch ([i*TX, TX+16)) AND
+    # every owned-row writeback ([i*TX+8, TX)) is 8-aligned in shape and
+    # start (Mosaic DMA rule)
+    ue3 = jnp.pad(u_soa, ((0, 0), (8, 8), (0, 0)))
+    pg3 = jnp.pad(p_guess, ((8, 8), (0, 0)))
+    dv3 = jnp.pad(dv, ((8, 8), (0, 0)), constant_values=1.0)
+    dar3 = jnp.pad(dAr, ((8, 7), (0, 0)))
+    invr3 = jnp.pad(invr, ((8, 8), (0, 0)))
+    cotq3 = jnp.pad(cotq, ((8, 8), (0, 0)))
+    daql3 = jnp.pad(daq_lo, ((8, 8), (0, 0)))
+    daqh3 = jnp.pad(daq_hi, ((8, 8), (0, 0)))
+
+    kernel = functools.partial(_kernel_run, n_pairs=n // 2, gi=gi, TX=TX,
+                               NQ=NQ, NR=NR, dt=float(dt),
+                               theta=float(plm_theta), method=int(method),
+                               tfloor=float(tfloor))
+
+    win = lambda: pltpu.VMEM((TX + 16, NQ), dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    uA, uB, pA, pB = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [any_spec] * 8,
+        out_specs=(any_spec, any_spec, any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(ue3.shape, dtype),
+            jax.ShapeDtypeStruct(ue3.shape, dtype),
+            jax.ShapeDtypeStruct(pg3.shape, dtype),
+            jax.ShapeDtypeStruct(pg3.shape, dtype),
+        ),
+        input_output_aliases={1: 0, 2: 2},
+        scratch_shapes=[
+            pltpu.VMEM((5, TX + 16, NQ), dtype),      # ue window
+            win(), win(), win(), win(), win(), win(), win(),
+            pltpu.VMEM((5, TX + 16, NQ), dtype),      # u1 window
+            win(), win(), win(),                      # Newton p/W/done
+            pltpu.VMEM((5, TX, NQ), dtype),           # u writeback stage
+            pltpu.VMEM((TX, NQ), dtype),              # p writeback stage
+            pltpu.SemaphoreType.DMA((10,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(inflows, dtype), ue3, pg3, dv3, dar3, invr3, cotq3,
+      daql3, daqh3)
+    del uB, pB                      # even n: the final state is in A
+    return uA[:, 8:NR + 8], pA[8:NR + 8]

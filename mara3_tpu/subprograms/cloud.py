@@ -794,3 +794,41 @@ def main(argv) -> int:
 
     run_tasks(next_state(state))
     return 0
+
+
+def advance_n_rk2_soa(us, p_prev, t0, rv, qv, jet_static, dt, plm_theta,
+                      method, temperature_floor, n: int, TX=64,
+                      interpret=False):
+    """n complete RK2 steps in ONE Pallas launch (kernels/cloud_update.
+    fused_run_rk2): the per-step launch dispatch and the inter-launch
+    pad/inflow jnp ops disappear. dt is static in this scheme
+    (dr_min * cfl), so the time-dependent jet-nozzle guard rows for all
+    n+1 stage boundaries are precomputed here — built with the same
+    sequential time accumulation the per-step loop uses, so the inflow
+    values are bitwise those of n chained steps. n must be even.
+    Returns (us_out, p_out, t0 + n*dt)."""
+    from mara3_tpu.kernels import cloud_update
+
+    rc = ops.midpoint_on_axis(rv)
+    qc = ops.midpoint_on_axis(qv)
+    nr_, nq_ = us.shape[1], us.shape[2]
+    dv = cell_volumes(rv, qv)
+    dAr = radial_face_areas(rv, qv)
+    dAq = polar_face_areas(rv, qv)
+    invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr_, nq_))
+    cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr_, nq_))
+
+    rows = []
+    t = t0
+    for _ in range(n + 1):
+        r = _inflow_row(qc, t, jet_static)
+        rows.append(jnp.stack([r[0, :, k] for k in range(5)]))
+        t = t + dt
+    inflows = jnp.stack(rows)                      # [n+1, 5, NQ]
+
+    u_out, p_out = cloud_update.fused_run_rk2(
+        inflows, us, jnp.asarray(p_prev), dv, invr, cotq, dAr,
+        dAq[:, :-1], dAq[:, 1:], dt, plm_theta, method,
+        temperature_floor, TX=min(TX, _require_tx(nr_)),
+        interpret=interpret)
+    return u_out, p_out, t0 + n * dt

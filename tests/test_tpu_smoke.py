@@ -108,3 +108,22 @@ def test_binary_multi_kernel_compiles_on_tpu():
     np.testing.assert_allclose(np.asarray(s1["conserved"]),
                                np.asarray(s1f["conserved"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_cloud_run_kernel_compiles_on_tpu():
+    """The n-steps-per-launch cloud kernel (fused_run_rk2: HBM ping-pong
+    + manual DMA) must compile and run on hardware."""
+    from mara3_tpu.subprograms import cloud
+    cfg = cloud.config_template().create().update({"nr": 256})
+    state = cloud.new_solution(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet = cloud.make_jet_nozzle_model(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(state.radial_vertices[1] - state.radial_vertices[0]) * 0.3
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    p0 = jnp.zeros(us.shape[1:], jnp.float32)
+    u1, p1, t1 = cloud.advance_n_rk2_soa(
+        us, p0, state.time, state.radial_vertices, state.polar_vertices,
+        jet_static, dt, 1.5, 2, 1e-6, 4)
+    assert np.isfinite(float(jnp.sum(u1)))
