@@ -33,7 +33,9 @@ run K complete steps:
   cost 0.1-0.2 ms per step now runs once per chunk), and the LEAN info
   rows the driver loop consumes (schemes/binary_step._INFO_LAYOUT).
 
-Scope (asserted by make_multi_scan): conserve_linear_p, rk_order == 1,
+Scope (asserted by make_multi_scan): both conservation formulations
+(linear-momentum and (sigma, Sr, Lz) — the angular-momentum recovery
+rebuilds velocities from iota positions in-kernel), rk_order 1 and 2,
 hlle/hllc + pcm/plm, binary not live within the launch window
 (time + K*dt < begin_live_binary — the default config has
 begin_live_binary = 1e6, reference subprog_binary.cpp:92). Anything else
@@ -255,14 +257,37 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
     rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
     cols16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
 
-    def recover(uc):
-        # conserve_linear_p recovery (binary_scheme.recover_soa)
-        sig = uc[:, 0:1]
-        return jnp.concatenate([sig, uc[:, 1:] / sig], axis=1)
-
     def geo_chunk(c):
         g = geo_ref[pl.ds(c * K2, K2)]          # [K2, 1, 128]
         return g[:, :, 0:3]
+
+    def positions(c):
+        geo = geo_chunk(c)
+        gx0 = geo[:, :, 0][..., None]
+        gy0 = geo[:, :, 1][..., None]
+        gdx = geo[:, :, 2][..., None]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 2)
+        x = gx0 + (ii.astype(dtype) + 0.5) * gdx
+        y = gy0 + (jj.astype(dtype) + 0.5) * gdx
+        return x, y
+
+    conserve_p = cfg_tuple[5]
+
+    def recover(uc, c):
+        # primitive recovery (binary_scheme.recover_soa): linear-momentum
+        # form is sig-divides only; the angular-momentum form (sigma, Sr,
+        # Lz) also needs the cell positions (rebuilt from geo + iota)
+        sig = uc[:, 0:1]
+        if conserve_p:
+            return jnp.concatenate([sig, uc[:, 1:] / sig], axis=1)
+        x, y = positions(c)
+        sr = uc[:, 1] / uc[:, 0]
+        lz = uc[:, 2] / uc[:, 0]
+        r2 = x * x + y * y
+        vx = (sr * x - lz * y) / r2
+        vy = (sr * y + lz * x) / r2
+        return jnp.concatenate([sig, vx[:, None], vy[:, None]], axis=1)
 
     def edges_and_cfl(src_ref, bodies, want_cfl):
         """Fill the e6x/e6y edge scratches from src_ref; when want_cfl,
@@ -274,7 +299,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         def passA(c, dtmin):
             uc = src_ref[pl.ds(c * K2, K2)]
-            pc = recover(uc)
+            pc = recover(uc, c)
             rows6 = (0, 1, 2, bs - 3, bs - 2, bs - 1)
             e6x = jnp.stack([pc[:, :, r] for r in rows6], axis=2)
             e6y = jnp.stack([pc[:, :, :, r] for r in rows6], axis=2)
@@ -284,13 +309,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                 return dtmin
 
             geo = geo_chunk(c)
-            gx0 = geo[:, :, 0][..., None]
-            gy0 = geo[:, :, 1][..., None]
-            gdx = geo[:, :, 2][..., None]
-            ii = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 1)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (K2, bs, bs), 2)
-            x = gx0 + (ii.astype(dtype) + 0.5) * gdx
-            y = gy0 + (jj.astype(dtype) + 0.5) * gdx
+            x, y = positions(c)
             # cs2 exactly as binary_step.maximum_timestep
             if axisym:
                 cs2 = 1.0 / jnp.sqrt(x * x + y * y) / (mach * mach)
@@ -376,7 +395,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         # ---- pass B: the full per-chunk update ------------------------
         def passB(c, contrib):
             uc = src_ref[pl.ds(c * K2, K2)]
-            pc = recover(uc)
+            pc = recover(uc, c)
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
             x_as = lambda a: a[:, :, None, :]
             y_as = lambda a: a[..., None]

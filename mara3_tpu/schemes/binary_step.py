@@ -364,8 +364,8 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     (state, rows [n, INFO_WIDTH]) contract as make_fast_scan; n must be a
     multiple of k_chunk.
 
-    Scope: conserve_linear_p, rk_order == 1, plm/pcm, binary not live
-    inside any launch window (the caller must ensure
+    Scope: both conservation formulations, rk 1/2, plm/pcm, hlle/hllc,
+    binary not live inside any launch window (the caller must ensure
     time + n*dt < begin_live_binary; default begin_live_binary = 1e6,
     subprog_binary.cpp:92). Fault handling is chunk-level like
     make_fast_scan: per-step invalid flags ride the rows and the driver
@@ -378,9 +378,6 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     from mara3_tpu.kernels.binary_advance import pick_chunk
 
     cfg = sd.cfg_scheme
-    if not cfg.conserve_linear_p:
-        raise NotImplementedError("multi-step kernel: conserve_linear_p "
-                                  "formulations only")
     if sd.rk_order not in (1, 2):
         raise NotImplementedError("multi-step kernel: rk_order 1 or 2")
     if cfg.reconstruct_method not in ("plm", "pcm"):

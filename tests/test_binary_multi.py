@@ -124,3 +124,20 @@ def test_multi_scan_hllc_matches_fast_scan():
     np.testing.assert_allclose(np.asarray(s_m["conserved"]),
                                np.asarray(s_f["conserved"]),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_multi_scan_angmom_formulation_matches_fast_scan():
+    """conserve_linear_p=0 (the (sigma, Sr, Lz) formulation): the
+    in-kernel recovery rebuilds velocities from iota positions; one chunk
+    must match the per-step scan at round-off."""
+    cfg, sd, s0 = make_setup({"conserve_linear_p": 0})
+    fast = binary_step.make_fast_scan(sd)
+    multi = binary_step.make_multi_scan(sd, k_chunk=4)
+    s_f, rows_f = fast(dict(s0), 4)
+    s_m, rows_m = multi(dict(s0), 4)
+    I = binary_step.INFO_INDEX
+    np.testing.assert_allclose(np.asarray(rows_m)[:, I["dt"]],
+                               np.asarray(rows_f)[:, I["dt"]], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_m["conserved"]),
+                               np.asarray(s_f["conserved"]),
+                               rtol=1e-9, atol=1e-12)
