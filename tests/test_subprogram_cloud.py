@@ -409,3 +409,27 @@ def test_fused_run_rk2_matches_chained_steps():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(pc2),
                                rtol=2e-6, atol=1e-12)
     assert abs(t1 - t) < 1e-12
+
+
+def test_cloud_fast_driver_matches_host_driver(tmp_path):
+    """fast_step=1 (chunked lax.scan driver, one dispatch per planned-
+    to-the-due chunk) must produce the same checkpoints as the per-step
+    host loop: same numbering, same final time, same conserved state at
+    round-off (dt is static, so the step sequences are identical)."""
+    for sub, flag in (("host", "fast_step=0"), ("fast", "fast_step=1")):
+        d = tmp_path / sub
+        d.mkdir()
+        assert run_cloud(d, flag) == 0
+
+    def last(d):
+        names = sorted(f for f in os.listdir(d / "data")
+                       if f.startswith("chkpt"))
+        with h5py.File(d / "data" / names[-1]) as f:
+            return (names, f["solution"]["conserved"][()],
+                    f["solution"]["time"][()])
+
+    names_h, u_h, t_h = last(tmp_path / "host")
+    names_f, u_f, t_f = last(tmp_path / "fast")
+    assert names_h == names_f
+    np.testing.assert_allclose(t_f, t_h, rtol=1e-12)
+    np.testing.assert_allclose(u_f, u_h, rtol=1e-6, atol=1e-12)
