@@ -43,6 +43,8 @@ def config_template():
             # static): rebuild the mesh from the solution gradient every
             # `rgi` time units when `regrid=1`
             .item("regrid", 0)
+            # chunked driver loop (-1 = auto on TPU, 0 = per-step, 1 = on)
+            .item("fast_step", -1)
             .item("rgi", 0.1)
             .item("refine_threshold", 0.3)
             .item("coarsen_threshold", 0.05))
@@ -207,6 +209,54 @@ def main(argv) -> int:
     next_regrid = rgi
 
     schedule = driver.create_schedule(cfg, ["write_diagnostics"])
+
+    fast = cfg.get_int("fast_step")
+    if fast < 0:
+        fast = int(jax.default_backend() == "tpu")
+
+    if fast:
+        # chunked driver (cloud/sedov _main_fast rationale): dt is static
+        # per layout, so each dispatch is ONE advance_n call (a single
+        # fused launch on TPU) planned to land exactly on the next
+        # diagnostics due or regrid event
+        import math as _math
+        import time as _time
+        eps = 1e-12
+        CHUNKS = (256, 64, 16, 4, 1)
+        tfinal = cfg.get_double("tfinal")
+        dfi = cfg.get_double("dfi")
+        while state.time < tfinal - eps:
+            if schedule.is_due("write_diagnostics"):
+                schedule = write_diagnostics(state, schedule, cfg)
+            if adaptive and state.time >= next_regrid:
+                state, nt, dxb = apply_regrid(state, cfg)
+                next_regrid += rgi
+            depth = tree.tree_depth(state.leaves)
+            dt = 2.0 / bs / (1 << depth)
+            n_cap = max(1, int(_math.ceil((tfinal - state.time) / dt
+                                          - eps)))
+            nxt = schedule.last_performed("write_diagnostics") + dfi
+            if nxt > state.time + eps:
+                n_cap = min(n_cap, max(1, int(_math.ceil(
+                    (nxt - state.time) / dt - eps))))
+            if adaptive and next_regrid > state.time + eps:
+                n_cap = min(n_cap, max(1, int(_math.ceil(
+                    (next_regrid - state.time) / dt - eps))))
+            n = next(c for c in CHUNKS if c <= n_cap)
+            t0 = _time.perf_counter()
+            u1 = advance_n(state.conserved, dxb, nt, dt, n)
+            jax.block_until_ready(u1)
+            ms = (_time.perf_counter() - t0) * 1e3
+            state = replace(state, iteration=state.iteration + n,
+                            time=state.time + n * dt, conserved=u1)
+            schedule = mark_tasks(schedule, state.time,
+                                  [("write_diagnostics", dfi)])
+            num_zones = state.conserved.shape[0] * bs * bs
+            print(f"[{state.iteration:04d}] t={state.time:3.7f} "
+                  f"kzps={n * num_zones / max(ms, 1e-9):3.2f}")
+        if schedule.is_due("write_diagnostics"):
+            schedule = write_diagnostics(state, schedule, cfg)
+        return 0
 
     from mara3_tpu.app.performance import time_execution
     while state.time < cfg.get_double("tfinal"):

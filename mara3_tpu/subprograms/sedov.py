@@ -77,6 +77,8 @@ def config_template():
             .item("explosion_density", 1.0)
             .item("density_index", 0.0)
             .item("newtonian", 0)
+            # chunked driver loop (-1 = auto on TPU, 0 = per-step, 1 = on)
+            .item("fast_step", -1)
             # reconstruction: pcm is the reference scheme
             # (subprog_sedov.cpp runs first-order Godunov); plm and weno5
             # (mathx/weno.py, from the reference's WenoInterpolation.nb
@@ -491,6 +493,60 @@ def next_state(state: AppState, newtonian: bool) -> AppState:
     return AppState(solution, schedule, cfg)
 
 
+def _main_fast(cfg, state: AppState, system, newtonian: bool) -> int:
+    """Chunked driver loop (cloud._main_fast rationale): the log-grid dt
+    is static, so each dispatch advances N steps (advance_n — ONE fused
+    launch on TPU via kernels/sedov_step) planned to land exactly on the
+    next task due; one host interaction per chunk instead of per step."""
+    import math as _math
+    import time as _time
+
+    ss = state.solution_state
+    schedule = state.schedule
+    dt = grid_dt(ss.vertices)
+    tfinal = cfg.get_double("tfinal")
+    rec = cfg.get_string("reconstruct_method")
+    theta = cfg.get_double("plm_theta")
+    intervals = [("write_checkpoint", cfg.get_double("cpi")),
+                 ("write_diagnostics", cfg.get_double("dfi")),
+                 ("write_time_series", cfg.get_double("tsi"))]
+
+    u = ss.conserved
+    t = float(ss.time)
+    it = int(ss.iteration)
+    nz = u.shape[0]
+
+    CHUNKS = (128, 32, 8, 1)
+    eps = 1e-12
+    while t < tfinal - eps:
+        n_cap = max(1, int(_math.ceil((tfinal - t) / dt - eps)))
+        for name, ivl in intervals:
+            nxt = schedule.last_performed(name) + ivl
+            if nxt > t + eps:
+                n_cap = min(n_cap, max(1, int(_math.ceil(
+                    (nxt - t) / dt - eps))))
+        n = next(c for c in CHUNKS if c <= n_cap)
+        t0 = _time.perf_counter()
+        u = advance_n(u, ss.vertices, dt, newtonian, n, rec, theta)
+        jax.block_until_ready(u)
+        ms = (_time.perf_counter() - t0) * 1e3
+        t += n * dt
+        it += n
+        schedule = mark_tasks(schedule, t, intervals)
+        if any(schedule.is_due(name) for name, _ in intervals):
+            st = AppState(replace(ss, time=t, iteration=it, conserved=u),
+                          schedule, cfg)
+            st = run_tasks(st, system)
+            schedule = st.schedule
+        print(f"[{it:04d}] t={t:3.7f} "
+              f"kzps={n * nz / max(ms, 1e-9):3.2f}")
+
+    st = AppState(replace(ss, time=t, iteration=it, conserved=u),
+                  mark_tasks(schedule, t, intervals), cfg)
+    run_tasks(st, system)
+    return 0
+
+
 @register("sedov")
 def main(argv) -> int:
     cfg = driver.create_run_config(config_template(), argv)
@@ -508,6 +564,12 @@ def main(argv) -> int:
                                      "write_time_series"]),
         cfg)
     state = run_tasks(state, system)
+
+    fast = cfg.get_int("fast_step")
+    if fast < 0:
+        fast = int(jax.default_backend() == "tpu")
+    if fast:
+        return _main_fast(cfg, state, system, newtonian)
 
     from mara3_tpu.app.performance import time_execution
     while state.solution_state.time < cfg.get_double("tfinal"):

@@ -460,3 +460,42 @@ def test_tree_index_methods_match_reference_semantics():
         assert tree.parent(k) == (1, 0, 0)
         assert tree.is_inside(k, (1, 0, 0))
     assert not tree.is_inside((2, 2, 0), (1, 0, 0))
+
+
+def test_amrsand_fast_driver_matches_host_driver(tmp_path):
+    """fast_step=1 (one advance_n dispatch per planned chunk) must match
+    the per-step amrsand driver: same diagnostics numbering and the same
+    final state in the last diagnostics file."""
+    import os
+
+    import h5py
+
+    from mara3_tpu.subprograms import amrsand
+
+    def run(sub, flag):
+        d = tmp_path / sub
+        d.mkdir()
+        old = os.getcwd()
+        os.chdir(d)
+        try:
+            assert amrsand.main(["amrsand", "depth=3", "block_size=16",
+                                 "tfinal=0.25", "dfi=0.1", flag]) == 0
+        finally:
+            os.chdir(old)
+
+    run("host", "fast_step=0")
+    run("fast", "fast_step=1")
+
+    def last(d):
+        names = sorted(f for f in os.listdir(d / "data")
+                       if f.startswith("diagnostics"))
+        with h5py.File(d / "data" / names[-1]) as f:
+            keys = sorted(f["conserved"].keys())
+            u = np.stack([f["conserved"][k][()] for k in keys])
+            return names, keys, u, f["time"][()]
+
+    nh, kh, uh, th = last(tmp_path / "host")
+    nf, kf, uf, tf = last(tmp_path / "fast")
+    assert nh == nf and kh == kf
+    np.testing.assert_allclose(tf, th, rtol=1e-12)
+    np.testing.assert_allclose(uf, uh, rtol=1e-12, atol=1e-15)

@@ -242,3 +242,30 @@ def test_sedov_tuple_step_matches_stacked():
                             dt, rec, 1.5)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-14, atol=0.0)
+
+
+def test_sedov_fast_driver_matches_host_driver(tmp_path):
+    """fast_step=1 (chunked advance_n driver planned to the task dues)
+    must reproduce the per-step host loop: same checkpoint numbering,
+    same final time, same conserved state at round-off, and the SAME
+    time-series row count (dues land identically — dt is static)."""
+    for sub, flag in (("host", "fast_step=0"), ("fast", "fast_step=1")):
+        d = tmp_path / sub
+        d.mkdir()
+        assert _run_sedov(d, flag) == 0
+
+    def summary(d):
+        names = sorted(f for f in os.listdir(d / "data")
+                       if f.startswith("chkpt"))
+        with h5py.File(d / "data" / names[-1]) as f:
+            u, t = f["solution/conserved"][()], f["solution/time"][()]
+        with h5py.File(d / "data" / "time_series.h5") as f:
+            nts = f["time"].shape[0]
+        return names, u, t, nts
+
+    nh, uh, th, tsh = summary(tmp_path / "host")
+    nf, uf, tf, tsf = summary(tmp_path / "fast")
+    assert nh == nf
+    assert tsh == tsf
+    np.testing.assert_allclose(tf, th, rtol=1e-12)
+    np.testing.assert_allclose(uf, uh, rtol=1e-9, atol=1e-12)
