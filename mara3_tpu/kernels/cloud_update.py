@@ -680,6 +680,41 @@ def _rk2_body(inflow1, inflow2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
     return u_out, P2[4][4:TX + 4]
 
 
+def _rk1_body(inflow1, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+              daql_s, daqh_s, p_scr, w_scr, done_scr,
+              *, TX, NQ, NR, g0, dt, theta, method, tfloor):
+    """Single RK1 stage on one (TX+8, NQ) window (the _rk2_body stage-1
+    half): returns (u1 rows on window rows 4..TX+3, recovered input
+    pressure on the same rows — the fused_stage pout carry)."""
+    rw = jax.lax.broadcasted_iota(jnp.int32, (TX + 8, NQ), 0) + g0
+    interior = jnp.logical_and(rw >= 0, rw < NR)
+    rw6 = jax.lax.broadcasted_iota(jnp.int32, (TX + 6, NQ), 0) + (g0 + 1)
+    gzero_rows = jnp.logical_or(rw6 == -1, rw6 == NR)
+
+    dvw = dvw_s[...]
+    u0w = tuple(ue_s[k] for k in range(5))
+    inv_dvw = _rcp(dvw)
+    Uw = tuple(jnp.where(interior, u0w[k] * inv_dvw, 1.0)
+               for k in range(5))
+    p0 = jnp.maximum(pg_s[...], 0.0)
+    done0 = 1.0 - interior.astype(p0.dtype)
+    P1, _ = _recover_window(Uw, jnp.where(interior, p0, 0.0), done0,
+                            tfloor, p_scr, w_scr, done_scr)
+    shifted = tuple(pltpu.roll(c, 1, 0) for c in P1)
+    Pw1 = []
+    for k in range(5):
+        c = jnp.where(rw == -1, inflow1[k], P1[k])
+        c = jnp.where(rw == NR, shifted[k], c)
+        Pw1.append(c)
+
+    U1 = _stage_window(tuple(Pw1), u0w, dar_s[...], dvw, invr_s[...],
+                       cotq_s[...], daql_s[...], daqh_s[...],
+                       gzero_rows, dt, theta, method, TX, NQ)
+    # U1 index a <-> window row a + 2; output rows 4..TX+3 = indices
+    # 2..TX+1
+    return tuple(U1[k][2:TX + 2] for k in range(5)), P1[4][4:TX + 4]
+
+
 def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
                 invr_ref, cotq_ref, daql_ref, daqh_ref,
                 uout_ref, pout_ref,
@@ -782,7 +817,8 @@ def _kernel_run(inflows_ref, u_in_ref, p_in_ref, dv_ref, dar_ref,
                 uA_ref, uB_ref, pA_ref, pB_ref,
                 ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
                 u1w_s, p_scr, w_scr, done_scr, ustage, pstage, sems,
-                *, n_pairs, gi, TX, NQ, NR, dt, theta, method, tfloor):
+                *, n_pairs, gi, TX, NQ, NR, dt, theta, method, tfloor,
+                rk):
     # u_in/p_in alias uA/pA (input_output_aliases); all access goes
     # through the A/B refs
     del u_in_ref, p_in_ref
@@ -809,11 +845,18 @@ def _kernel_run(inflows_ref, u_in_ref, p_in_ref, dv_ref, dar_ref,
             for dma in dmas:
                 dma.wait()
 
-            u_out, p_out = _rk2_body(
-                i1, i2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
-                daql_s, daqh_s, u1w_s, p_scr, w_scr, done_scr,
-                TX=TXb, NQ=NQ, NR=NR, g0=i * TX - 8, dt=dt, theta=theta,
-                method=method, tfloor=tfloor)
+            if rk == 2:
+                u_out, p_out = _rk2_body(
+                    i1, i2, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+                    daql_s, daqh_s, u1w_s, p_scr, w_scr, done_scr,
+                    TX=TXb, NQ=NQ, NR=NR, g0=i * TX - 8, dt=dt,
+                    theta=theta, method=method, tfloor=tfloor)
+            else:
+                u_out, p_out = _rk1_body(
+                    i1, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
+                    daql_s, daqh_s, p_scr, w_scr, done_scr,
+                    TX=TXb, NQ=NQ, NR=NR, g0=i * TX - 8, dt=dt,
+                    theta=theta, method=method, tfloor=tfloor)
             # body output rows <-> interior i*TX-4 .. i*TX+TX+3; this
             # tile owns i*TX .. i*TX+TX-1 = output indices 4 .. TX+3
             for k in range(5):
@@ -843,7 +886,7 @@ def _kernel_run(inflows_ref, u_in_ref, p_in_ref, dv_ref, dar_ref,
 
 def fused_run_rk2(inflows, u_soa, p_guess, dv, invr, cotq, dAr,
                   daq_lo, daq_hi, dt, plm_theta, method, tfloor, TX=64,
-                  interpret=False):
+                  rk=2, interpret=False):
     """n COMPLETE RK2 steps in ONE launch (n = inflows.shape[0] - 1,
     must be even): HBM ping-pong between two padded state buffers, each
     step streaming radial tiles through VMEM windows exactly as
@@ -876,7 +919,7 @@ def fused_run_rk2(inflows, u_soa, p_guess, dv, invr, cotq, dAr,
     kernel = functools.partial(_kernel_run, n_pairs=n // 2, gi=gi, TX=TX,
                                NQ=NQ, NR=NR, dt=float(dt),
                                theta=float(plm_theta), method=int(method),
-                               tfloor=float(tfloor))
+                               tfloor=float(tfloor), rk=int(rk))
 
     win = lambda: pltpu.VMEM((TX + 16, NQ), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

@@ -886,7 +886,7 @@ def main(argv) -> int:
 
 
 def advance_n_rk2_soa(us, p_prev, t0, rv, qv, jet_static, dt, plm_theta,
-                      method, temperature_floor, n: int, TX=64,
+                      method, temperature_floor, n: int, TX=64, rk=2,
                       interpret=False):
     """n complete RK2 steps in ONE Pallas launch (kernels/cloud_update.
     fused_run_rk2): the per-step launch dispatch and the inter-launch
@@ -918,6 +918,6 @@ def advance_n_rk2_soa(us, p_prev, t0, rv, qv, jet_static, dt, plm_theta,
     u_out, p_out = cloud_update.fused_run_rk2(
         inflows, us, jnp.asarray(p_prev), dv, invr, cotq, dAr,
         dAq[:, :-1], dAq[:, 1:], dt, plm_theta, method,
-        temperature_floor, TX=min(TX, _require_tx(nr_)),
+        temperature_floor, TX=min(TX, _require_tx(nr_)), rk=rk,
         interpret=interpret)
     return u_out, p_out, t0 + n * dt

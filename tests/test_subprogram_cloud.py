@@ -433,3 +433,56 @@ def test_cloud_fast_driver_matches_host_driver(tmp_path):
     assert names_h == names_f
     np.testing.assert_allclose(t_f, t_h, rtol=1e-12)
     np.testing.assert_allclose(u_f, u_h, rtol=1e-6, atol=1e-12)
+
+
+def test_fused_run_rk1_matches_chained_stages():
+    """rk=1 in the n-step launch (the reference's default rk_order) must
+    match n chained fused_stage launches with the pressure carry."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mara3_tpu.core import ops
+    from mara3_tpu.kernels import cloud_update as CU
+    from mara3_tpu.subprograms import cloud
+
+    cfg = cloud.config_template().create().update(
+        {"nr": 128, "num_decades": 1.0})
+    state = cloud.new_solution(cfg)
+    rv = jnp.asarray(state.radial_vertices, jnp.float32)
+    qv = jnp.asarray(state.polar_vertices, jnp.float32)
+    rc, qc = ops.midpoint_on_axis(rv), ops.midpoint_on_axis(qv)
+    dv = cloud.cell_volumes(rv, qv)
+    dAr = cloud.radial_face_areas(rv, qv)
+    dAq = cloud.polar_face_areas(rv, qv)
+    nr, nq = dv.shape
+    jet = cloud.make_jet_nozzle_model(cfg)
+    units = cloud.make_reference_units(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    dt = float(rv[1] - rv[0]) * cfg.get_double("cfl_number")
+    us = jnp.moveaxis(jnp.asarray(state.conserved, jnp.float32), -1, 0)
+    pg = jnp.zeros_like(us[0])
+    invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr, nq))
+    cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr, nq))
+
+    def row(t):
+        r = cloud._inflow_row(qc, t, jet_static)
+        return jnp.stack([r[0, :, k] for k in range(5)]).astype(jnp.float32)
+
+    n = 4
+    uc, pc2, t = us, pg, 0.0
+    with pltpu.force_tpu_interpret_mode():
+        for _ in range(n):
+            uc, pc2 = CU.fused_stage(
+                row(t), uc, pc2, dv, invr, cotq, dAr, dAq[:, :-1],
+                dAq[:, 1:], dt, 1.5, 2, 1e-8, TX=32, interpret=True)
+            t = t + dt
+
+    u1, p1, _ = cloud.advance_n_rk2_soa(
+        us, pg, 0.0, rv, qv, jet_static, dt, 1.5, 2, 1e-8, n, TX=32,
+        rk=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(uc),
+                               rtol=2e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(pc2),
+                               rtol=2e-6, atol=1e-12)
