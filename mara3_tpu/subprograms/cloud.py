@@ -73,6 +73,10 @@ def config_template():
             # chunked driver loop (one dispatch per N steps; -1 = auto on
             # TPU, 0 = per-step host loop, 1 = force)
             .item("fast_step", -1)
+            # n COMPLETE steps per Pallas launch inside the fast loop
+            # (kernels/cloud_update.fused_run_rk2). Opt-in until
+            # hardware-validated.
+            .item("multi_launch", 0)
             .item("temperature_floor", 1e-8))
 
 
@@ -810,8 +814,15 @@ def _main_fast(cfg, state: AppState) -> int:
     it = int(sol.iteration)
     nzones = us.shape[1] * us.shape[2]
 
+    # multi_launch=1: n COMPLETE steps per Pallas LAUNCH
+    # (kernels/cloud_update.fused_run_rk2) — even-n chunks only; odd
+    # remainders fall back to the scan
+    multi = (cfg.get_int("multi_launch") != 0
+             and jax.default_backend() == "tpu"
+             and us.shape[2] % 128 == 0 and rk in (1, 2))
+
     @partial(jax.jit, static_argnames=("n",))
-    def chunk(u, pw, t0, n: int):
+    def chunk_scan(u, pw, t0, n: int):
         def body(carry, _):
             u_, p_, td = carry
             u1, p1 = _advance_rk_carry_soa(u_, p_, td, rv, qv, jet_static,
@@ -819,6 +830,14 @@ def _main_fast(cfg, state: AppState) -> int:
             return (u1, p1, td + dt), None
         (u, pw, _), _ = jax.lax.scan(body, (u, pw, t0), length=n)
         return u, pw
+
+    def chunk(u, pw, t0, n: int):
+        if multi and n >= 2 and n % 2 == 0:
+            u, pw, _ = advance_n_rk2_soa(u, pw, float(t0), rv, qv,
+                                         jet_static, dt, theta, method,
+                                         tfloor, n, rk=rk)
+            return u, pw
+        return chunk_scan(u, pw, jnp.asarray(t0, u.dtype), n)
 
     CHUNKS = (64, 16, 4, 1)
     eps = 1e-12
@@ -832,7 +851,7 @@ def _main_fast(cfg, state: AppState) -> int:
                     (nxt - t) / dt - eps))))
         n = next(c for c in CHUNKS if c <= n_cap)
         t0 = _time.perf_counter()
-        us, pz = chunk(us, pz, jnp.asarray(t, us.dtype), n)
+        us, pz = chunk(us, pz, t, n)
         jax.block_until_ready(us)
         ms = (_time.perf_counter() - t0) * 1e3
         t += n * dt
