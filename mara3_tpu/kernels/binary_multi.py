@@ -56,8 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mara3_tpu.kernels.binary_advance import (_main_update_vals,
-                                              _plm_kernel as _plm_val,
-                                              pick_chunk)
+                                              _plm_kernel as _plm_val)
 from mara3_tpu.mesh import block_layout
 
 # rows of the per-step [16, 128] output tile beyond the totals entries

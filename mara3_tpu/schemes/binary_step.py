@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from mara3_tpu.models import two_body_jax as tbj
-from mara3_tpu.physics import iso2d
 
 
 def solution_to_arrays(sol, dtype):

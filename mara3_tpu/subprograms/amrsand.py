@@ -26,7 +26,7 @@ import numpy as np
 
 from mara3_tpu.app import driver, serialize
 from mara3_tpu.app.config import ConfigTemplate
-from mara3_tpu.app.schedule import Schedule, mark_tasks
+from mara3_tpu.app.schedule import mark_tasks
 from mara3_tpu.app.subprogram import register
 from mara3_tpu.mesh import block_layout, tree
 
