@@ -232,9 +232,10 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
                   cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order):
     if rk_order == 2:
-        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, s1_scr = scratch
+        (unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
+         s1_scr) = scratch
     else:
-        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr = scratch
+        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr = scratch
         s1_scr = None
     dtype = u_out_ref.dtype
     e10 = tuple(e10_ref[j] for j in range(10))
@@ -348,8 +349,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         pyhi = _guard_from_edges(E6y, (0, 1), Wg[3], Mg[3], Tm, Bp, C, bs)
 
         # ---- edge slopes (4 rows/cols per axis) + their guard strips --
-        spv = geo_ref[...][:, 0, 2:3]            # [Bp, 1] block spacing
-        sp_bc = spv[:, :, None]                  # [Bp, 1, 1]
+        sp_bc = geo_ref[:, :, 2:3]               # [Bp, 1, 1] block spacing
 
         def x_slopes(E6, glo, ghi):
             # normal slopes along x at rows (0, 1, bs-2, bs-1)
@@ -391,16 +391,30 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         gyhi = _guard_from_edges(EGy, (0, 1), Wg[3], Mg[3], Tm, Bp,
                                  2 * C, bs)
 
+        # stage the whole-mesh guard tensors in VMEM scratches: the chunk
+        # loops below slice them dynamically, and Pallas TPU lowering has
+        # NO dynamic_slice on values — only on refs (caught by the
+        # cross-platform export lowering check, tests/test_tpu_export.py)
+        gp_scr[0] = pxlo
+        gp_scr[1] = pxhi
+        gp_scr[2] = pylo
+        gp_scr[3] = pyhi
+        gg_scr[0] = gxlo
+        gg_scr[1] = gxhi
+        gg_scr[2] = gylo
+        gg_scr[3] = gyhi
+
         # ---- pass B: the full per-chunk update ------------------------
         def passB(c, contrib):
             uc = src_ref[pl.ds(c * K2, K2)]
             pc = recover(uc, c)
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
             x_as = lambda a: a[:, :, None, :]
             y_as = lambda a: a[..., None]
-            pex = jnp.concatenate([x_as(sl(pxlo)), pc, x_as(sl(pxhi))],
+            pex = jnp.concatenate([x_as(gp_scr[0, pl.ds(c * K2, K2)]), pc,
+                                   x_as(gp_scr[1, pl.ds(c * K2, K2)])],
                                   axis=2)
-            pey = jnp.concatenate([y_as(sl(pylo)), pc, y_as(sl(pyhi))],
+            pey = jnp.concatenate([y_as(gp_scr[2, pl.ds(c * K2, K2)]), pc,
+                                   y_as(gp_scr[3, pl.ds(c * K2, K2)])],
                                   axis=3)
             sp_c = geo_chunk(c)[:, :, 2][..., None, None]     # [K2,1,1,1]
             gx = _plm_val(pex[:, :, :-2], pex[:, :, 1:-1], pex[:, :, 2:],
@@ -411,9 +425,11 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             # (Mosaic lane-concat offset rule — see binary_advance._kernel)
             g_scr[...] = jnp.concatenate([gx, gy], axis=1)
             G = g_scr[...]
-            Gex = jnp.concatenate([x_as(sl(gxlo)), G, x_as(sl(gxhi))],
+            Gex = jnp.concatenate([x_as(gg_scr[0, pl.ds(c * K2, K2)]), G,
+                                   x_as(gg_scr[1, pl.ds(c * K2, K2)])],
                                   axis=2)
-            Gey = jnp.concatenate([y_as(sl(gylo)), G, y_as(sl(gyhi))],
+            Gey = jnp.concatenate([y_as(gg_scr[2, pl.ds(c * K2, K2)]), G,
+                                   y_as(gg_scr[3, pl.ds(c * K2, K2)])],
                                   axis=3)
             bm_c = bmask_ref[pl.ds(c * K2, K2)][..., None]
             u1c, fxlo_c, fxhi_c, fylo_c, fyhi_c, con = _main_update_vals(
@@ -435,7 +451,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
         fxhi_all = fs_scr[1]
         fylo_all = fs_scr[2]
         fyhi_all = fs_scr[3]
-        spl = geo_ref[...][:, 0, 2:3][:, :, None]             # [Bp, 1, 1]
+        spl = geo_ref[:, :, 2:3]                              # [Bp, 1, 1]
         dtdA = dt / (spl * spl)
 
         def restricted(strips, f):
@@ -447,20 +463,35 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                 outs.append(_dot(a0, Rm[0]) + _dot(a1, Rm[1]))
             return jnp.stack(outs, axis=1)
 
-        d_xlo = (restricted(fxhi_all, 0) - fxlo_all) * dtdA * Fm[0, :, :, None]
-        d_xhi = (restricted(fxlo_all, 1) - fxhi_all) * dtdA * Fm[1, :, :, None]
-        d_ylo = (restricted(fyhi_all, 2) - fylo_all) * dtdA * Fm[2, :, :, None]
-        d_yhi = (restricted(fylo_all, 3) - fyhi_all) * dtdA * Fm[3, :, :, None]
+        # fm_ref[f] is a 2-D ref read ([Bp, 1]) + reshape: value-side
+        # mixed int/slice/None indexing lowers to >2-D gathers Mosaic
+        # rejects (export lowering check)
+        d_xlo = (restricted(fxhi_all, 0) - fxlo_all) * dtdA \
+            * fm_ref[0][:, :, None]
+        d_xhi = (restricted(fxlo_all, 1) - fxhi_all) * dtdA \
+            * fm_ref[1][:, :, None]
+        d_ylo = (restricted(fyhi_all, 2) - fylo_all) * dtdA \
+            * fm_ref[2][:, :, None]
+        d_yhi = (restricted(fylo_all, 3) - fyhi_all) * dtdA \
+            * fm_ref[3][:, :, None]
+        # the flux strips are consumed; reuse their scratch for the edge
+        # deltas so pass C can ref-slice them per chunk
+        fs_scr[0] = d_xlo
+        fs_scr[1] = d_xhi
+        fs_scr[2] = d_ylo
+        fs_scr[3] = d_yhi
 
         # ---- pass C: edge fixup + pad re-benign + fault reduce --------
         def passC(c, inv):
             uc = unew_scr[pl.ds(c * K2, K2)]
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * K2, K2, 0)
-            uc = uc + jnp.where(subi == 0, sl(d_xlo)[:, :, None, :], 0.0)
-            uc = uc - jnp.where(subi == bs - 1,
-                                sl(d_xhi)[:, :, None, :], 0.0)
-            uc = uc + jnp.where(lanej == 0, sl(d_ylo)[..., None], 0.0)
-            uc = uc - jnp.where(lanej == bs - 1, sl(d_yhi)[..., None], 0.0)
+            dxl = fs_scr[0, pl.ds(c * K2, K2)]
+            dxh = fs_scr[1, pl.ds(c * K2, K2)]
+            dyl = fs_scr[2, pl.ds(c * K2, K2)]
+            dyh = fs_scr[3, pl.ds(c * K2, K2)]
+            uc = uc + jnp.where(subi == 0, dxl[:, :, None, :], 0.0)
+            uc = uc - jnp.where(subi == bs - 1, dxh[:, :, None, :], 0.0)
+            uc = uc + jnp.where(lanej == 0, dyl[..., None], 0.0)
+            uc = uc - jnp.where(lanej == bs - 1, dyh[..., None], 0.0)
             bm_c = bmask_ref[pl.ds(c * K2, K2)][..., None]    # [K2,1,1,1]
             # pads re-benign each step (sigma=1, v=0: the per-step kernel
             # refreshes them from the wrapper; here they must survive K)
@@ -554,8 +585,10 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
         pltpu.VMEM((Bp, C, bs, bs), dtype),      # unew
         pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x
         pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6y
-        pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips
+        pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips/deltas
         pltpu.VMEM((K2, 2 * C, bs, bs), dtype),  # gradient layout fix
+        pltpu.VMEM((4, Bp, C, bs), dtype),       # primitive guard strips
+        pltpu.VMEM((4, Bp, 2 * C, bs), dtype),   # gradient guard strips
     ]
     if rk_order == 2:
         scratch.append(pltpu.VMEM((Bp, C, bs, bs), dtype))   # stage state
