@@ -65,8 +65,6 @@ def test_multi_scan_fault_flag_rides_rows():
     protocol depends on them)."""
     cfg, sd, s0 = make_setup({"fixed_dt": 1})
     # recommended_time_step at this size is tiny; force a huge one
-    sd = sd.__class__(**{**sd.__dict__, "recommended_time_step": 50.0}) \
-        if not hasattr(sd, "_replace") else sd
     from dataclasses import replace
     sd = replace(sd, recommended_time_step=50.0, fixed_dt=True)
     multi = binary_step.make_multi_scan(sd, k_chunk=4)
