@@ -45,7 +45,13 @@ run bkern python benchmarks/bench_all.py configs=sedov,sedov_srhd,amrsand repeat
 # 6: bf16 ceiling trial (PRECISION.md accept/reject)
 run bf16 python benchmarks/bench_bf16_trial.py
 
-# 7: the official bench again (warm caches, confirm stability)
+# 7: the kh PRODUCT path riding v5 end-to-end (kzps lines name the
+# executed kernel; ~2000 steps at 2048^2, whole inter-output chunks in
+# one launch). Fresh Mosaic compile: dt differs from bench.py's.
+run kh python -m mara3_tpu kh N=2048 tfinal=0.2 cpi=1.0 dfi=1.0 \
+    tsi=0.05 outdir=/tmp/kh_run
+
+# 8: the official bench again (warm caches, confirm stability)
 run bench1 python bench.py
 
 echo "=== TPU queue done $(date) ==="

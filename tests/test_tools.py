@@ -175,3 +175,21 @@ def test_plot_cloud_fields_and_profiles(cloud_outputs, tmp_path):
     pc.main([diag, "--movie", "-o", out])
     assert os.path.exists(out) or \
         os.path.exists(str(tmp_path / "cloud.0000.png"))
+
+
+def test_plot_kh_fields_and_time_series(tmp_path):
+    from mara3_tpu.subprograms import kh
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert kh.main(["kh", "N=32", "tfinal=0.02", "cpi=1.0", "dfi=0.01",
+                        "tsi=0.01", "outdir=.", "fast_step=0"]) == 0
+    finally:
+        os.chdir(old)
+    pk = _load_tool("plot_kh")
+    diag = str(tmp_path / "diagnostics.0001.h5")
+    pk.main([diag])
+    assert os.path.exists(diag.replace(".h5", ".png"))
+    out = str(tmp_path / "ts.png")
+    pk.main([str(tmp_path / "time_series.h5"), "--time-series", "-o", out])
+    assert os.path.exists(out)
