@@ -68,7 +68,12 @@ def config_template():
             .item("tsi", 0.05)          # time-series interval
             # kernel selection: -1 auto (TPU), 0 jnp, 1 kernel (error if
             # unavailable); tests use "interpret"
-            .item("fast_step", -1))
+            .item("fast_step", -1)
+            # multi-chip: x-shard the grid over this many devices and run
+            # the v4 stripe kernel under shard_map with ppermute halo
+            # strips (parallel/iso2d_sharded.py). 0 = off, -1 = all
+            # local devices.
+            .item("shards", 0))
 
 
 @dataclass(frozen=True)
@@ -204,6 +209,38 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
                         riemann=riemann)
 
 
+def make_sharded_advance(cfg, dt: float):
+    """Multi-chip advance: x-shard over `shards` devices, v4 stripe
+    kernel under shard_map with ppermute halo strips (the ICI analog of
+    the reference's isend/irecv guard exchange,
+    subprog_binary_scheme.cpp:132-142). Returns (advance(u, n), mesh, G)
+    with u in the [3, nx, ny] kernel layout; n must be a multiple of G.
+    Off-TPU the kernel runs in interpret mode (CPU-mesh testing)."""
+    from jax.sharding import Mesh
+    from mara3_tpu.parallel import iso2d_sharded
+
+    shards = cfg.get_int("shards")
+    devices = jax.devices()
+    ndev = len(devices) if shards < 0 else shards
+    if ndev > len(devices):
+        raise ValueError(f"shards={ndev} but only {len(devices)} devices")
+    n = cfg.get_int("N")
+    if n % ndev:
+        raise ValueError(f"N={n} not divisible by shards={ndev}")
+    if n % 128:
+        raise ValueError(f"sharded kernel path needs N%128==0 (N={n})")
+    tx = _pick_tx(n // ndev) or (n // ndev)
+    if (n // ndev) % tx or tx % 8:
+        raise ValueError(f"local width {n // ndev} has no valid stripe")
+    G = 4
+    mesh = Mesh(np.array(devices[:ndev]), ("x",))
+    adv = iso2d_sharded.make_advance_v4_sharded(
+        mesh, G=G, cs2=cfg.get_double("cs") ** 2, dtdx=dt * n, dtdy=dt * n,
+        theta=cfg.get_double("plm_theta"), TX=tx,
+        interpret=jax.default_backend() != "tpu")
+    return adv, mesh, G
+
+
 # -----------------------------------------------------------------------------
 # outputs
 # -----------------------------------------------------------------------------
@@ -331,6 +368,7 @@ def create_state(cfg) -> Solution:
 
 @register("kh")
 def main(argv) -> int:
+    global LAST_PATH
     import time as _time
     cfg = driver.create_run_config(config_template(), argv)
     cfg.pretty_print()
@@ -345,6 +383,16 @@ def main(argv) -> int:
     kw = dict(cs2=cfg.get_double("cs") ** 2, dx=1.0 / n, dy=1.0 / n,
               dt=state.dt, theta=cfg.get_double("plm_theta"),
               riemann=cfg.get_string("riemann"), kernel=kernel)
+
+    sharded_adv = grain = None
+    if cfg.get_int("shards") != 0:
+        from mara3_tpu.parallel import iso2d_sharded
+        sharded_adv, mesh, grain = make_sharded_advance(cfg, state.dt)
+        uT = iso2d_sharded.shard_state(
+            jnp.moveaxis(state.conserved, -1, 0), mesh)
+        state = replace(state, conserved=jnp.moveaxis(uT, 0, -1))
+        print(f"kh: x-sharded over {mesh.shape['x']} devices "
+              f"(v4 stripes + ppermute halos)")
     intervals = [("write_checkpoint", cfg.get_double("cpi")),
                  ("write_diagnostics", cfg.get_double("dfi")),
                  ("write_time_series", cfg.get_double("tsi"))]
@@ -363,14 +411,24 @@ def main(argv) -> int:
                 n_cap = min(n_cap, max(1, int(math.ceil(
                     (due - state.time) / state.dt - eps))))
         t0 = _time.perf_counter()
-        u1 = advance_n(state.conserved, n_cap, **kw)
+        if sharded_adv is not None:
+            # the sharded kernel advances in grain-sized groups; rounding
+            # UP keeps 'first time >= due' semantics (tasks fire at the
+            # next loop top, exactly like a fixed-dt overshoot)
+            n_run = grain * math.ceil(n_cap / grain)
+            uT = sharded_adv(jnp.moveaxis(state.conserved, -1, 0), n_run)
+            u1 = jnp.moveaxis(uT, 0, -1)
+            LAST_PATH = f"sharded_v4[{mesh.shape['x']}dev]"
+        else:
+            n_run = n_cap
+            u1 = advance_n(state.conserved, n_run, **kw)
         jax.block_until_ready(u1)
         ms = (_time.perf_counter() - t0) * 1e3
-        state = replace(state, iteration=state.iteration + n_cap,
-                        time=state.time + n_cap * state.dt, conserved=u1)
+        state = replace(state, iteration=state.iteration + n_run,
+                        time=state.time + n_run * state.dt, conserved=u1)
         schedule = mark_tasks(schedule, state.time, intervals)
         print(f"[{state.iteration:04d}] t={state.time:3.7f} "
-              f"kzps={n_cap * n * n / max(ms, 1e-9):3.2f} [{LAST_PATH}]")
+              f"kzps={n_run * n * n / max(ms, 1e-9):3.2f} [{LAST_PATH}]")
 
     schedule = run_tasks(state, schedule, cfg)
     return 0

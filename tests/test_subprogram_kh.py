@@ -113,3 +113,22 @@ def test_kh_kernel_request_on_bad_shape_raises():
         assert "kernel path" in str(e)
     else:
         raise AssertionError("expected ValueError for N=24 kernel request")
+
+
+def test_kh_sharded_multichip_matches_jnp(tmp_path):
+    """shards=4 on the virtual CPU mesh (v4 stripes under shard_map with
+    ppermute halos, interpret mode) reproduces the single-device jnp
+    evolution."""
+    assert run_cli(["kh", "N=128", "tfinal=0.01", "cpi=0.01", "dfi=1.0",
+                    "tsi=1.0", "outdir=.", "shards=4"], tmp_path) == 0
+    with h5py.File(tmp_path / "chkpt.0001.h5") as f:
+        got = f["solution/conserved"][()]
+        iters = int(f["solution/iteration"][()])
+        dt = float(f["solution/dt"][()])
+    cfg = _mini_cfg(N=128)
+    u0 = kh.initial_conserved(cfg)
+    want = kh.advance_n(u0, iters, cs2=1.0, dx=1.0 / 128, dy=1.0 / 128,
+                        dt=dt, theta=1.8, kernel=False)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12,
+                               atol=1e-12)
+    assert iters % 4 == 0   # sharded chunks advance in G=4 grains
