@@ -186,3 +186,19 @@ def test_export_flagship_advance_core2():
         return u1
 
     export_tpu(f, uT, bodies)
+
+
+def test_export_iso2d_v4_sharded():
+    """The multi-chip product path (kh shards=N / dryrun phase 4): v4
+    stripes under shard_map with ppermute halos must pass the TPU
+    lowering including the collective permutes around the pallas_call."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from mara3_tpu.parallel import iso2d_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    adv = iso2d_sharded.make_advance_v4_sharded(
+        mesh, G=4, cs2=0.1, dtdx=1e-3, dtdy=1e-3, theta=1.8, TX=16)
+    u = iso2d_sharded.shard_state(jnp.ones((3, 128, 128), jnp.float32),
+                                  mesh)
+    export_tpu(lambda a: adv(a, 8), u)
