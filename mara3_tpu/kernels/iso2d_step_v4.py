@@ -78,11 +78,22 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta):
     return jnp.stack([u0[0] - d0, u0[1] - d1, u0[2] - d2])
 
 
+def _step_stripe_rk2(u, cs2, dtdx, dtdy, theta):
+    """One SSP-RK2 (Heun) update of a [3, NXw, NY] window -> [3, NXw-8,
+    NY]: u1 = E(u0), u_{n+1} = (u0 + E(u1)) / 2 — the reference's
+    rational-1/2 Shu-Osher averaging (subprog_binary.cpp:272-275,
+    subprog_cloud.cpp:676-697) on the uniform periodic grid."""
+    u1 = _step_stripe(u, cs2, dtdx, dtdy, theta)
+    u2 = _step_stripe(u1, cs2, dtdx, dtdy, theta)
+    return 0.5 * (u[:, 4:-4] + u2)
+
+
 def _kernel_v4(u_ref, lo_ref, hi_ref, out_ref, *, G, cs2, dtdx, dtdy,
-               theta):
+               theta, rk_order=1):
     u = jnp.concatenate([lo_ref[0], u_ref[...], hi_ref[0]], axis=1)
+    step = _step_stripe if rk_order == 1 else _step_stripe_rk2
     for _ in range(G):
-        u = _step_stripe(u, cs2, dtdx, dtdy, theta)
+        u = step(u, cs2, dtdx, dtdy, theta)
     out_ref[...] = u
 
 
@@ -101,21 +112,23 @@ def build_x_strips(u, TX: int, h: int):
 
 def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
                           dtdy: float, theta: float = 1.8, TX: int = 512,
-                          interpret: bool = False):
+                          rk_order: int = 1, interpret: bool = False):
     """G fused steps on [3, nx, ny] with CALLER-BUILT x-halo strips
-    lo/hi [gi, 3, 2G, ny] (stripe i's rows below/above). The distributed
-    path (parallel/iso2d_sharded.py) fills the shard-edge strips from
-    ppermute'd neighbor rows; the single-device wrapper below fills them
-    periodically."""
+    lo/hi [gi, 3, 2G*rk_order, ny] (stripe i's rows below/above). The
+    distributed path (parallel/iso2d_sharded.py) fills the shard-edge
+    strips from ppermute'd neighbor rows; the single-device wrapper
+    below fills them periodically. rk_order=2 runs SSP-RK2 steps (each
+    consuming 4 halo rows per side instead of 2)."""
     _, nx, ny = u.shape
     assert nx % TX == 0 and ny % 128 == 0
+    assert rk_order in (1, 2), rk_order
     gi = nx // TX
-    h = 2 * G
+    h = 2 * G * rk_order
     assert h <= TX
     assert lo.shape == hi.shape == (gi, 3, h, ny), (lo.shape, gi, h, ny)
 
     kernel = functools.partial(_kernel_v4, G=G, cs2=cs2, dtdx=dtdx,
-                               dtdy=dtdy, theta=theta)
+                               dtdy=dtdy, theta=theta, rk_order=rk_order)
     strip_spec = pl.BlockSpec((1, 3, h, ny), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -134,24 +147,28 @@ def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
 
 
 @functools.partial(jax.jit, static_argnames=("TX", "G", "theta", "cs2",
-                                             "dtdx", "dtdy", "interpret"))
+                                             "dtdx", "dtdy", "rk_order",
+                                             "interpret"))
 def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
-                   theta: float = 1.8, TX: int = 512,
+                   theta: float = 1.8, TX: int = 512, rk_order: int = 1,
                    interpret: bool = False):
     """G fused periodic steps on [3, nx, ny]."""
-    lo, hi = build_x_strips(u, TX, 2 * G)
+    lo, hi = build_x_strips(u, TX, 2 * G * rk_order)
     return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
                                  dtdy=dtdy, theta=theta, TX=TX,
-                                 interpret=interpret)
+                                 rk_order=rk_order, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "G", "cs2", "dtdx",
-                                             "dtdy", "theta", "TX"))
+                                             "dtdy", "theta", "TX",
+                                             "rk_order", "interpret"))
 def advance_n_pallas_v4(u, n: int, *, G: int = 8, cs2, dtdx, dtdy,
-                        theta=1.8, TX: int = 512):
+                        theta=1.8, TX: int = 512, rk_order: int = 1,
+                        interpret: bool = False):
     assert n % G == 0
 
     def body(_, u):
         return pallas_step_v4(u, G=G, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
-                              theta=theta, TX=TX)
+                              theta=theta, TX=TX, rk_order=rk_order,
+                              interpret=interpret)
     return jax.lax.fori_loop(0, n // G, body, u)

@@ -58,7 +58,8 @@ def _local_strips(u, h: int, TX: int, axis_name: str, num_shards: int):
 def make_advance_v4_sharded(mesh: Mesh, *, axis_name: str = "x",
                             G: int = 8, cs2: float, dtdx: float,
                             dtdy: float, theta: float = 1.8,
-                            TX: int = 512, interpret: bool = False):
+                            TX: int = 512, rk_order: int = 1,
+                            interpret: bool = False):
     """Distributed n-step advance over a global periodic [3, nx, ny]
     state x-sharded over ``mesh[axis_name]``.
 
@@ -69,9 +70,11 @@ def make_advance_v4_sharded(mesh: Mesh, *, axis_name: str = "x",
     num_shards = mesh.shape[axis_name]
 
     def local_chunk(u):
-        lo, hi = _local_strips(u, 2 * G, TX, axis_name, num_shards)
+        lo, hi = _local_strips(u, 2 * G * rk_order, TX, axis_name,
+                               num_shards)
         return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
                                      dtdy=dtdy, theta=theta, TX=TX,
+                                     rk_order=rk_order,
                                      interpret=interpret)
 
     spec = P(None, axis_name, None)

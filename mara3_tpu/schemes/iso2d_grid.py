@@ -108,6 +108,16 @@ def step_periodic_uniform(u0, cs2: float, dx: float, dy: float, dt,
     return flux_divergence_update(u0, Fx, Fy, dx, dy, dt)
 
 
+def step_periodic_uniform_rk2(u0, cs2: float, dx: float, dy: float, dt,
+                              plm_theta: float = 1.8, riemann="hlle"):
+    """One SSP-RK2 (Heun) update: u1 = E(u0), u_{n+1} = (u0 + E(u1))/2 —
+    the reference's rational-1/2 Shu-Osher averaging
+    (subprog_binary.cpp:272-275, subprog_cloud.cpp:676-697)."""
+    u1 = step_periodic_uniform(u0, cs2, dx, dy, dt, plm_theta, riemann)
+    u2 = step_periodic_uniform(u1, cs2, dx, dy, dt, plm_theta, riemann)
+    return 0.5 * (u0 + u2)
+
+
 def step_local_extended(u_ext, cs2: float, dx: float, dy: float, dt,
                         plm_theta: float = 1.8, riemann="hlle"):
     """Update from a pre-extended conserved shard (guards already filled by

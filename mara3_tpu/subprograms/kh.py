@@ -60,6 +60,7 @@ def config_template():
             .item("pert_k", 2)          # vy seed wavenumber (cycles/box)
             .item("plm_theta", 1.8)
             .item("riemann", "hlle")    # hllc = jnp path only
+            .item("rk_order", 1)        # 2 = SSP-RK2 (v4/jnp paths)
             .item("cfl", 0.3)
             .item("fixed_dt", 0.0)      # 0 -> cfl * dx / max wavespeed(IC)
             .item("tfinal", 2.0)
@@ -140,18 +141,22 @@ def _pick_tx(nx: int):
 
 
 @partial(jax.jit, static_argnames=("n", "cs2", "dx", "dy", "dt", "theta",
-                                   "riemann"))
+                                   "riemann", "rk_order"))
 def _advance_jnp(u, n: int, cs2: float, dx: float, dy: float, dt: float,
-                 theta: float, riemann: str):
+                 theta: float, riemann: str, rk_order: int = 1):
+    step = (iso2d_grid.step_periodic_uniform if rk_order == 1
+            else iso2d_grid.step_periodic_uniform_rk2)
+
     def body(_, u):
-        return iso2d_grid.step_periodic_uniform(u, cs2, dx, dy, dt,
-                                                theta, riemann)
+        return step(u, cs2, dx, dy, dt, theta, riemann)
     return jax.lax.fori_loop(0, n, body, u)
 
 
 def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
-              theta: float, riemann: str = "hlle", kernel=None):
-    """n forward-Euler PLM+HLLE steps on [N, N, 3]. kernel: None = auto
+              theta: float, riemann: str = "hlle", rk_order: int = 1,
+              kernel=None):
+    """n PLM+HLLE steps on [N, N, 3] (forward Euler, or SSP-RK2 when
+    rk_order=2 — v4/jnp paths; v5 is rk1-only). kernel: None = auto
     (fused kernel iff on TPU), False = jnp, True = kernel (raise if it
     cannot run), "interpret" = kernel in interpret mode (tests)."""
     global LAST_PATH
@@ -162,7 +167,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
     tx = _pick_tx(nx)
     usable = (riemann == "hlle" and tx is not None and ny % 128 == 0
               and abs(dx - dy) < 1e-15)
-    if kernel and usable:
+    if kernel and usable and rk_order == 1:
         from mara3_tpu.kernels import iso2d_step_v5 as K5
         interpret = kernel == "interpret"
         n8 = (n // 8) * 8
@@ -182,6 +187,8 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
             if not auto and not interpret:
                 raise                     # explicit request: surface it
             print("kh: v5 kernel unavailable, trying v4")
+    if kernel and usable:
+        interpret = kernel == "interpret"
         try:
             from mara3_tpu.kernels import iso2d_step_v4 as K4
             n4 = (n // 4) * 4
@@ -189,15 +196,17 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
             if n4:
                 uT = K4.advance_n_pallas_v4(
                     uT, n4, G=4, cs2=cs2, dtdx=dt / dx, dtdy=dt / dy,
-                    theta=theta, TX=tx)
+                    theta=theta, TX=tx, rk_order=rk_order,
+                    interpret=interpret)
             u1 = jnp.moveaxis(uT, 0, -1)
             if n - n4:
                 u1 = _advance_jnp(u1, n=n - n4, cs2=cs2, dx=dx, dy=dy,
-                                  dt=dt, theta=theta, riemann=riemann)
-            LAST_PATH = f"pallas_v4[{n4}]+jnp[{n - n4}]"
+                                  dt=dt, theta=theta, riemann=riemann,
+                                  rk_order=rk_order)
+            LAST_PATH = (f"pallas_v4_rk{rk_order}[{n4}]+jnp[{n - n4}]")
             return u1
         except Exception:
-            if not auto:
+            if not auto and not interpret:
                 raise
             print("kh: v4 kernel unavailable, using the jnp path")
     elif kernel and not usable and not auto:
@@ -206,7 +215,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
             f"and an even stripe count (N={nx}x{ny}, riemann={riemann})")
     LAST_PATH = "jnp"
     return _advance_jnp(u, n=n, cs2=cs2, dx=dx, dy=dy, dt=dt, theta=theta,
-                        riemann=riemann)
+                        riemann=riemann, rk_order=rk_order)
 
 
 def make_sharded_advance(cfg, dt: float):
@@ -237,6 +246,7 @@ def make_sharded_advance(cfg, dt: float):
     adv = iso2d_sharded.make_advance_v4_sharded(
         mesh, G=G, cs2=cfg.get_double("cs") ** 2, dtdx=dt * n, dtdy=dt * n,
         theta=cfg.get_double("plm_theta"), TX=tx,
+        rk_order=cfg.get_int("rk_order"),
         interpret=jax.default_backend() != "tpu")
     return adv, mesh, G
 
@@ -382,7 +392,8 @@ def main(argv) -> int:
     n = cfg.get_int("N")
     kw = dict(cs2=cfg.get_double("cs") ** 2, dx=1.0 / n, dy=1.0 / n,
               dt=state.dt, theta=cfg.get_double("plm_theta"),
-              riemann=cfg.get_string("riemann"), kernel=kernel)
+              riemann=cfg.get_string("riemann"),
+              rk_order=cfg.get_int("rk_order"), kernel=kernel)
 
     sharded_adv = grain = None
     if cfg.get_int("shards") != 0:

@@ -406,3 +406,23 @@ def test_v4_bfloat16_runs_and_tracks_f32():
     a16 = np.asarray(o16, np.float64)
     rel = np.sum(np.abs(a16 - a32)) / np.sum(np.abs(a32))
     assert np.isfinite(rel) and rel < 2e-2, rel
+
+
+def test_v4_rk2_matches_jnp_rk2():
+    """rk_order=2 in the v4 stripe kernel (each SSP-RK2 step consumes 4
+    halo rows per side) reproduces the jnp Heun scheme at round-off."""
+    import mara3_tpu.kernels.iso2d_step_v4 as K4
+    from mara3_tpu.schemes import iso2d_grid
+
+    nx, ny = 64, 128
+    u = jnp.moveaxis(random_state(nx, ny), -1, 0)
+    got = K4.advance_n_pallas_v4(u, 8, G=4, TX=32, rk_order=2,
+                                 cs2=0.5, dtdx=0.1, dtdy=0.1, theta=1.5,
+                                 interpret=True)
+    ucl = jnp.moveaxis(u, 0, -1)
+    for _ in range(8):
+        ucl = iso2d_grid.step_periodic_uniform_rk2(ucl, 0.5, 1.0, 1.0,
+                                                   0.1, 1.5)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.moveaxis(ucl, -1, 0)),
+                               rtol=1e-13, atol=1e-13)

@@ -132,3 +132,34 @@ def test_kh_sharded_multichip_matches_jnp(tmp_path):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12,
                                atol=1e-12)
     assert iters % 4 == 0   # sharded chunks advance in G=4 grains
+
+
+def test_kh_rk2_paths_agree_and_conserve(tmp_path):
+    """rk_order=2: the v4 rk2 kernel path (interpret), the sharded path,
+    and the jnp Heun scheme all agree; conservation holds."""
+    cfg = _mini_cfg(N=128)
+    u0 = kh.initial_conserved(cfg)
+    dt = kh.fixed_timestep(cfg, u0)
+    kw = dict(cs2=1.0, dx=1.0 / 128, dy=1.0 / 128, dt=dt, theta=1.8,
+              rk_order=2)
+    a = kh.advance_n(u0, 8, kernel="interpret", **kw)
+    assert kh.LAST_PATH == "pallas_v4_rk2[8]+jnp[0]"
+    b = kh.advance_n(u0, 8, kernel=False, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-13, atol=1e-13)
+    s0 = np.asarray(jnp.sum(u0, axis=(0, 1)))
+    s1 = np.asarray(jnp.sum(a, axis=(0, 1)))
+    assert np.allclose(s1, s0, rtol=1e-12, atol=1e-12 * abs(s0[0]))
+
+    # CLI with shards + rk2 (v4 rk2 stripes under shard_map)
+    assert run_cli(["kh", "N=128", "tfinal=0.005", "cpi=0.005", "dfi=1.0",
+                    "tsi=1.0", "outdir=.", "shards=2", "rk_order=2"],
+                   tmp_path) == 0
+    with h5py.File(tmp_path / "chkpt.0001.h5") as f:
+        got = f["solution/conserved"][()]
+        iters = int(f["solution/iteration"][()])
+        dtc = float(f["solution/dt"][()])
+    want = kh.advance_n(u0, iters, cs2=1.0, dx=1.0 / 128, dy=1.0 / 128,
+                        dt=dtc, theta=1.8, rk_order=2, kernel=False)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12,
+                               atol=1e-12)

@@ -94,6 +94,8 @@ def test_export_iso2d_v4_and_v5():
     u = jnp.ones((3, 64, 128), jnp.float32)
     kw = dict(cs2=0.1, dtdx=1e-3, dtdy=1e-3, theta=1.8)
     export_tpu(lambda a: K4.advance_n_pallas_v4(a, 8, G=4, TX=32, **kw), u)
+    export_tpu(lambda a: K4.advance_n_pallas_v4(a, 8, G=4, TX=32,
+                                                rk_order=2, **kw), u)
     export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32, **kw), u)
 
 
