@@ -31,17 +31,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mara3_tpu.kernels.iso2d_step_v4 import _step_stripe
+from mara3_tpu.kernels.iso2d_step_v4 import _step_stripe, _step_stripe_rk2
 
 G = 4          # steps per block; 2G = 8 matches the sublane alignment
-H = 2 * G
+H = 2 * G      # halo rows per side at rk_order=1 (2G * rk_order generally)
 
 
 def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
                win0, win1, out0, out1,
                sin0, sin1, sout0, sout1, sg0, sg1,
-               *, gi, TX, nx, cs2, dtdx, dtdy, theta):
+               *, gi, TX, nx, cs2, dtdx, dtdy, theta, rk_order=1):
     del a_ref                       # aliased to o2_ref (the initial state)
+    H = 2 * G * rk_order            # shadows the rk1 module constant
 
     def in_copy(src_ref, j, w, s):
         return pltpu.make_async_copy(
@@ -125,8 +126,9 @@ def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
                               dst_ref.at[:, pl.ds(0, H)], sg1).wait()
 
     def _advance_window(w):
+        step = _step_stripe if rk_order == 1 else _step_stripe_rk2
         for _ in range(G):
-            w = _step_stripe(w, cs2, dtdx, dtdy, theta)
+            w = step(w, cs2, dtdx, dtdy, theta)
         return w
 
     def block2(_, carry):
@@ -139,9 +141,10 @@ def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("cs2", "dtdx", "dtdy",
-                                             "theta", "TX", "interpret"))
+                                             "theta", "TX", "rk_order",
+                                             "interpret"))
 def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
-                        TX=256, interpret=False):
+                        TX=256, rk_order=1, interpret=False):
     """n fused periodic steps on [3, nx, ny] in ONE kernel launch.
 
     n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
@@ -155,9 +158,12 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     pre-round to a multiple of 8 (bench.py does)."""
     _, nx, ny = u.shape
     gi = nx // TX
+    H = 2 * G * rk_order            # halo rows (shadows the rk1 constant)
     if isinstance(n, int):
         assert n % (2 * G) == 0 and n > 0, n
+    assert rk_order in (1, 2), rk_order
     assert nx % TX == 0 and gi % 2 == 0 and TX % 8 == 0, (nx, TX)
+    assert H <= TX, (H, TX)
     assert ny % 128 == 0, ny
     dtype = u.dtype
 
@@ -165,7 +171,7 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     nb2 = jnp.asarray(n, jnp.int32).reshape(1) // (2 * G)
     kernel = functools.partial(_kernel_v5, gi=gi, TX=TX,
                                nx=nx, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
-                               theta=theta)
+                               theta=theta, rk_order=rk_order)
     o1, o2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

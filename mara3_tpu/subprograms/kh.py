@@ -156,7 +156,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
               theta: float, riemann: str = "hlle", rk_order: int = 1,
               kernel=None):
     """n PLM+HLLE steps on [N, N, 3] (forward Euler, or SSP-RK2 when
-    rk_order=2 — v4/jnp paths; v5 is rk1-only). kernel: None = auto
+    rk_order=2 — all paths incl. v5). kernel: None = auto
     (fused kernel iff on TPU), False = jnp, True = kernel (raise if it
     cannot run), "interpret" = kernel in interpret mode (tests)."""
     global LAST_PATH
@@ -167,7 +167,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
     tx = _pick_tx(nx)
     usable = (riemann == "hlle" and tx is not None and ny % 128 == 0
               and abs(dx - dy) < 1e-15)
-    if kernel and usable and rk_order == 1:
+    if kernel and usable and 8 * rk_order <= tx:
         from mara3_tpu.kernels import iso2d_step_v5 as K5
         interpret = kernel == "interpret"
         n8 = (n // 8) * 8
@@ -176,12 +176,14 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
             if n8:
                 uT = K5.advance_n_pallas_v5(
                     uT, n8, cs2=cs2, dtdx=dt / dx, dtdy=dt / dy,
-                    theta=theta, TX=tx, interpret=interpret)
+                    theta=theta, TX=tx, rk_order=rk_order,
+                    interpret=interpret)
             u1 = jnp.moveaxis(uT, 0, -1)
             if n - n8:
                 u1 = _advance_jnp(u1, n=n - n8, cs2=cs2, dx=dx, dy=dy,
-                                  dt=dt, theta=theta, riemann=riemann)
-            LAST_PATH = f"pallas_v5[{n8}]+jnp[{n - n8}]"
+                                  dt=dt, theta=theta, riemann=riemann,
+                                  rk_order=rk_order)
+            LAST_PATH = f"pallas_v5_rk{rk_order}[{n8}]+jnp[{n - n8}]"
             return u1
         except Exception:
             if not auto and not interpret:

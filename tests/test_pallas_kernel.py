@@ -426,3 +426,23 @@ def test_v4_rk2_matches_jnp_rk2():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(jnp.moveaxis(ucl, -1, 0)),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_v5_rk2_matches_jnp_rk2():
+    """rk_order=2 in the v5 single-launch kernel (16-row halos, SSP-RK2
+    windows) reproduces the jnp Heun scheme at round-off."""
+    import mara3_tpu.kernels.iso2d_step_v5 as K5
+    from mara3_tpu.schemes import iso2d_grid
+
+    nx, ny = 64, 128
+    u = jnp.moveaxis(random_state(nx, ny), -1, 0)
+    got = K5.advance_n_pallas_v5(u, 16, TX=32, rk_order=2, cs2=0.5,
+                                 dtdx=0.1, dtdy=0.1, theta=1.5,
+                                 interpret=True)
+    ucl = jnp.moveaxis(u, 0, -1)
+    for _ in range(16):
+        ucl = iso2d_grid.step_periodic_uniform_rk2(ucl, 0.5, 1.0, 1.0,
+                                                   0.1, 1.5)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.moveaxis(ucl, -1, 0)),
+                               rtol=1e-13, atol=1e-13)

@@ -52,7 +52,7 @@ def test_kh_kernel_path_matches_jnp_interpret():
     kw = dict(cs2=1.0, dx=1.0 / 256, dy=1.0 / 256, dt=dt, theta=1.8)
     # n=11 exercises the split: 8 kernel steps + 3 jnp remainder steps
     a = kh.advance_n(u0, 11, kernel="interpret", **kw)
-    assert kh.LAST_PATH == "pallas_v5[8]+jnp[3]"
+    assert kh.LAST_PATH == "pallas_v5_rk1[8]+jnp[3]"
     b = kh.advance_n(u0, 11, kernel=False, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-6, atol=2e-6)
@@ -143,7 +143,7 @@ def test_kh_rk2_paths_agree_and_conserve(tmp_path):
     kw = dict(cs2=1.0, dx=1.0 / 128, dy=1.0 / 128, dt=dt, theta=1.8,
               rk_order=2)
     a = kh.advance_n(u0, 8, kernel="interpret", **kw)
-    assert kh.LAST_PATH == "pallas_v4_rk2[8]+jnp[0]"
+    assert kh.LAST_PATH == "pallas_v5_rk2[8]+jnp[0]"
     b = kh.advance_n(u0, 8, kernel=False, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-13, atol=1e-13)
