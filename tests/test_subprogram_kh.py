@@ -163,3 +163,33 @@ def test_kh_rk2_paths_agree_and_conserve(tmp_path):
                         dt=dtc, theta=1.8, rk_order=2, kernel=False)
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12,
                                atol=1e-12)
+
+
+def test_kh_rk2_is_second_order_in_time():
+    """Temporal self-convergence on a smooth acoustic field at fixed N
+    (spatial error cancels against the same-N fine-dt reference): rk1
+    converges at ~1st order, rk2 at ~2nd, and rk2's error is orders of
+    magnitude smaller at equal dt."""
+    N = 64
+    x = (jnp.arange(N, dtype=jnp.float64) + 0.5)[:, None] / N
+    y = (jnp.arange(N, dtype=jnp.float64) + 0.5)[None, :] / N
+    sg = 1.0 + 0.1 * jnp.sin(2 * jnp.pi * x) * jnp.ones_like(y)
+    u0 = jnp.stack([sg,
+                    0.02 * sg * jnp.sin(2 * jnp.pi * y) * jnp.ones_like(x),
+                    jnp.zeros((N, N))], axis=-1)
+    T = 0.04
+
+    def run(nsteps, rk):
+        return kh.advance_n(u0, nsteps, cs2=1.0, dx=1 / N, dy=1 / N,
+                            dt=T / nsteps, theta=1.8, rk_order=rk,
+                            kernel=False)
+
+    orders, errs = {}, {}
+    for rk in (1, 2):
+        ref = run(256, rk)
+        e = [float(jnp.abs(run(n, rk) - ref).max()) for n in (16, 32)]
+        orders[rk] = np.log2(e[0] / e[1])
+        errs[rk] = e[0]
+    assert 0.8 < orders[1] < 1.5, orders
+    assert 1.8 < orders[2] < 2.4, orders
+    assert errs[2] < errs[1] / 30, errs
