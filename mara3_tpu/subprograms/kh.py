@@ -60,7 +60,12 @@ def config_template():
             .item("pert_k", 2)          # vy seed wavenumber (cycles/box)
             .item("plm_theta", 1.8)
             .item("riemann", "hlle")    # hllc = jnp path only
-            .item("rk_order", 1)        # 2 = SSP-RK2 (v4/jnp paths)
+            .item("rk_order", 1)        # 2 = SSP-RK2 (all paths)
+            # "" = auto (f32 on TPU, platform default elsewhere);
+            # f32 | bf16 | f64. bf16 is the mixed-precision ceiling
+            # trial (PRECISION.md protocol); checkpoints store f32
+            # (HDF5 has no bf16) — exact both ways for bf16 values.
+            .item("precision", "")
             .item("cfl", 0.3)
             .item("fixed_dt", 0.0)      # 0 -> cfl * dx / max wavespeed(IC)
             .item("tfinal", 2.0)
@@ -105,9 +110,18 @@ def initial_conserved(cfg):
                 + jnp.exp(-((y - 0.75) / 0.05) ** 2))
     vy = cfg.get_double("pert") * cs * jnp.sin(2 * jnp.pi * k * x) * envelope
     u = jnp.stack([sigma, sigma * vx, sigma * vy], axis=-1)
-    # f32 on TPU (the perf configuration), f64 elsewhere (parity testing)
-    dtype = jnp.float32 if jax.default_backend() == "tpu" else None
+    dtype = _dtype_from_cfg(cfg)
     return u if dtype is None else u.astype(dtype)
+
+
+def _dtype_from_cfg(cfg):
+    p = cfg.get_string("precision") if "precision" in cfg else ""
+    if p == "":
+        # f32 on TPU (the perf configuration), platform default
+        # elsewhere (f64 under the x64 test conftest — parity testing)
+        return jnp.float32 if jax.default_backend() == "tpu" else None
+    return {"f32": jnp.float32, "bf16": jnp.bfloat16,
+            "f64": jnp.float64}[p]
 
 
 def fixed_timestep(cfg, u0) -> float:
@@ -299,7 +313,10 @@ def write_checkpoint(state: Solution, schedule, cfg):
         group["iteration"] = np.int64(state.iteration)
         group["time"] = np.float64(state.time)
         group["dt"] = np.float64(state.dt)
-        group["conserved"] = np.asarray(state.conserved)
+        u = state.conserved
+        if u.dtype == jnp.bfloat16:      # HDF5 has no bf16; f32 is exact
+            u = u.astype(jnp.float32)
+        group["conserved"] = np.asarray(u)
 
     driver.write_checkpoint_groups(path, cfg, schedule, write_solution)
     return schedule
@@ -370,10 +387,13 @@ def create_state(cfg) -> Solution:
     if restart:
         with h5py.File(restart, "r") as f:
             g = f["solution"]
+            u = jnp.asarray(g["conserved"][()])
+            dtype = _dtype_from_cfg(cfg)
+            if dtype is not None:
+                u = u.astype(dtype)
             return Solution(int(g["iteration"][()]),
                             float(g["time"][()]),
-                            float(g["dt"][()]),
-                            jnp.asarray(g["conserved"][()]))
+                            float(g["dt"][()]), u)
     u0 = initial_conserved(cfg)
     return Solution(0, 0.0, fixed_timestep(cfg, u0), u0)
 

@@ -193,3 +193,31 @@ def test_kh_rk2_is_second_order_in_time():
     assert 0.8 < orders[1] < 1.5, orders
     assert 1.8 < orders[2] < 2.4, orders
     assert errs[2] < errs[1] / 30, errs
+
+
+def test_kh_bf16_precision_mode(tmp_path):
+    """precision=bf16 runs end-to-end (the mixed-precision ceiling
+    trial), writes f32 checkpoints (exact for bf16 values), restarts in
+    bf16, and tracks the f32 evolution at bf16 resolution."""
+    args = ["kh", "N=32", "tfinal=0.02", "cpi=0.01", "dfi=1.0", "tsi=1.0",
+            "outdir=.", "fast_step=0"]
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    assert run_cli(args + ["precision=bf16"], a) == 0
+    assert run_cli(args + ["precision=f32"], b) == 0
+    with h5py.File(a / "chkpt.0001.h5") as f:
+        u16 = f["solution/conserved"][()]
+        assert u16.dtype == np.float32      # stored as f32
+    with h5py.File(b / "chkpt.0001.h5") as f:
+        u32 = f["solution/conserved"][()]
+    rel = np.sum(np.abs(u16.astype(np.float64) - u32.astype(np.float64)))
+    rel /= np.sum(np.abs(u32.astype(np.float64)))
+    assert np.isfinite(rel) and rel < 2e-2, rel
+
+    # restart continues in bf16 and stays bit-exact vs uninterrupted
+    assert run_cli(["kh", "restart=chkpt.0001.h5", "tfinal=0.03",
+                    "precision=bf16"], a) == 0
+    with h5py.File(a / "chkpt.0002.h5") as f:
+        assert f["solution/time"][()] > 0.02
