@@ -51,6 +51,9 @@ run bf16 python benchmarks/bench_bf16_trial.py
 run kh python -m mara3_tpu kh N=2048 tfinal=0.2 cpi=1.0 dfi=1.0 \
     tsi=0.05 outdir=/tmp/kh_run
 
+# 7b: official kh marginal rates incl. the in-kernel SSP-RK2
+run khbench python benchmarks/bench_all.py configs=kh,kh_rk2 repeat=3
+
 # 8: the official bench again (warm caches, confirm stability)
 run bench1 python bench.py
 
