@@ -258,6 +258,11 @@ def make_sharded_advance(cfg, dt: float):
     if (n // ndev) % tx or tx % 8:
         raise ValueError(f"local width {n // ndev} has no valid stripe")
     G = 4
+    if 2 * G * cfg.get_int("rk_order") > tx:
+        raise ValueError(
+            f"sharded rk_order={cfg.get_int('rk_order')} needs stripe "
+            f"width >= {2 * G * cfg.get_int('rk_order')} (local width "
+            f"{n // ndev} gives TX={tx}); use fewer shards")
     mesh = Mesh(np.array(devices[:ndev]), ("x",))
     adv = iso2d_sharded.make_advance_v4_sharded(
         mesh, G=G, cs2=cfg.get_double("cs") ** 2, dtdx=dt * n, dtdy=dt * n,
