@@ -100,6 +100,53 @@ def _hlle_1d(sgl, vnl, vtl, sgr, vnr, vtr, cs2):
     return f0, f1, f2
 
 
+def _hllc_1d(sgl, vnl, vtl, sgr, vnr, vtr, cs2):
+    """HLLC flux for iso2d along the face normal (Toro 3rd ed. sec 10.6,
+    isothermal gamma=1 — the kernel form of physics/iso2d.riemann_hllc,
+    reference physics_iso2d.hpp:610-712) with constant cs^2 on both
+    sides. Face states are (density, normal velocity, transverse
+    velocity); returns (f_sigma, f_pn, f_pt). The four-way branch is
+    nested selects (VPU-friendly, no control flow)."""
+    cs = jnp.sqrt(jnp.asarray(cs2, sgl.dtype))
+    pl_ = sgl * cs2
+    pr_ = sgr * cs2
+    ppvrs = 0.5 * (pl_ + pr_) - 0.25 * (vnr - vnl) * (sgl + sgr) * cs
+    pstar = jnp.maximum(0.0, ppvrs)
+    ql = jnp.maximum(1.0, jnp.sqrt(pstar / pl_))
+    qr = jnp.maximum(1.0, jnp.sqrt(pstar / pr_))
+    sl = vnl - cs * ql
+    sr = vnr + cs * qr
+    kl = sgl * (sl - vnl)
+    kr = sgr * (sr - vnr)
+    sstar = (pr_ - pl_ + vnl * kl - vnr * kr) / (kl - kr)
+
+    ul0, ul1, ul2 = sgl, sgl * vnl, sgl * vtl
+    ur0, ur1, ur2 = sgr, sgr * vnr, sgr * vtr
+    fl0, fl1, fl2 = vnl * ul0, vnl * ul1 + pl_, vnl * ul2
+    fr0, fr1, fr2 = vnr * ur0, vnr * ur1 + pr_, vnr * ur2
+
+    dl = kl / (sl - sstar)
+    dr = kr / (sr - sstar)
+    fls0 = fl0 + sl * (dl - ul0)
+    fls1 = fl1 + sl * (dl * sstar - ul1)
+    fls2 = fl2 + sl * (dl * vtl - ul2)
+    frs0 = fr0 + sr * (dr - ur0)
+    frs1 = fr1 + sr * (dr * sstar - ur1)
+    frs2 = fr2 + sr * (dr * vtr - ur2)
+
+    def pick(a, b, c, d):
+        return jnp.where(sl >= 0.0, a,
+               jnp.where(sstar >= 0.0, b,
+               jnp.where(sr >= 0.0, c, d)))
+
+    return (pick(fl0, fls0, frs0, fr0),
+            pick(fl1, fls1, frs1, fr1),
+            pick(fl2, fls2, frs2, fr2))
+
+
+RIEMANN_1D = {"hlle": _hlle_1d, "hllc": _hllc_1d}
+
+
 def _step_tile(u, cs2, dtdx, dtdy, theta):
     """Update the (TX, TY) interior of a (3, TX+4, TY+4) window.
 

@@ -29,15 +29,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mara3_tpu.kernels.iso2d_step import _hlle_1d, _plm_half
+from mara3_tpu.kernels.iso2d_step import RIEMANN_1D, _plm_half
 
 
-def _step_stripe(u, cs2, dtdx, dtdy, theta):
+def _step_stripe(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
     """One Godunov update of a [3, NXw, NY] window.
 
     y is periodic via lane rolls; x consumes two cells per side, so the
     result is [3, NXw-4, NY]. Bit-identical to _step_tile on the cells
-    both compute."""
+    both compute. `riemann` selects the face solver (hlle, or the Toro
+    HLLC with the contact restored)."""
+    _riemann_1d = RIEMANN_1D[riemann]
     sg = u[0]
     vx = u[1] / sg
     vy = u[2] / sg
@@ -50,7 +52,7 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta):
     sgl, sgr = faces_x(sg)
     vxl, vxr = faces_x(vx)
     vyl, vyr = faces_x(vy)
-    fx0, fx1, fx2 = _hlle_1d(sgl, vxl, vyl, sgr, vxr, vyr, cs2)
+    fx0, fx1, fx2 = _riemann_1d(sgl, vxl, vyl, sgr, vxr, vyr, cs2)
 
     # y faces only on the rows that survive this step
     sgi, vxi, vyi = sg[2:-2], vx[2:-2], vy[2:-2]
@@ -68,8 +70,8 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta):
     sgl, sgr = faces_y(sgi)
     vxl, vxr = faces_y(vxi)
     vyl, vyr = faces_y(vyi)
-    fy0, fy2, fy1 = _hlle_1d(sgl, vyl, vxl, sgr, vyr, vxr, cs2)
-    # for y faces the normal is vy: _hlle_1d's f_pn is the y-momentum flux
+    fy0, fy2, fy1 = _riemann_1d(sgl, vyl, vxl, sgr, vyr, vxr, cs2)
+    # for y faces the normal is vy: the solver's f_pn is the y-momentum flux
 
     u0 = u[:, 2:-2]
     d0 = (fx0[1:] - fx0[:-1]) * dtdx + (fy0 - pltpu.roll(fy0, 1, 1)) * dtdy
@@ -78,22 +80,22 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta):
     return jnp.stack([u0[0] - d0, u0[1] - d1, u0[2] - d2])
 
 
-def _step_stripe_rk2(u, cs2, dtdx, dtdy, theta):
+def _step_stripe_rk2(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
     """One SSP-RK2 (Heun) update of a [3, NXw, NY] window -> [3, NXw-8,
     NY]: u1 = E(u0), u_{n+1} = (u0 + E(u1)) / 2 — the reference's
     rational-1/2 Shu-Osher averaging (subprog_binary.cpp:272-275,
     subprog_cloud.cpp:676-697) on the uniform periodic grid."""
-    u1 = _step_stripe(u, cs2, dtdx, dtdy, theta)
-    u2 = _step_stripe(u1, cs2, dtdx, dtdy, theta)
+    u1 = _step_stripe(u, cs2, dtdx, dtdy, theta, riemann)
+    u2 = _step_stripe(u1, cs2, dtdx, dtdy, theta, riemann)
     return 0.5 * (u[:, 4:-4] + u2)
 
 
 def _kernel_v4(u_ref, lo_ref, hi_ref, out_ref, *, G, cs2, dtdx, dtdy,
-               theta, rk_order=1):
+               theta, rk_order=1, riemann="hlle"):
     u = jnp.concatenate([lo_ref[0], u_ref[...], hi_ref[0]], axis=1)
     step = _step_stripe if rk_order == 1 else _step_stripe_rk2
     for _ in range(G):
-        u = step(u, cs2, dtdx, dtdy, theta)
+        u = step(u, cs2, dtdx, dtdy, theta, riemann)
     out_ref[...] = u
 
 
@@ -112,7 +114,8 @@ def build_x_strips(u, TX: int, h: int):
 
 def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
                           dtdy: float, theta: float = 1.8, TX: int = 512,
-                          rk_order: int = 1, interpret: bool = False):
+                          rk_order: int = 1, riemann: str = "hlle",
+                          interpret: bool = False):
     """G fused steps on [3, nx, ny] with CALLER-BUILT x-halo strips
     lo/hi [gi, 3, 2G*rk_order, ny] (stripe i's rows below/above). The
     distributed path (parallel/iso2d_sharded.py) fills the shard-edge
@@ -128,7 +131,8 @@ def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
     assert lo.shape == hi.shape == (gi, 3, h, ny), (lo.shape, gi, h, ny)
 
     kernel = functools.partial(_kernel_v4, G=G, cs2=cs2, dtdx=dtdx,
-                               dtdy=dtdy, theta=theta, rk_order=rk_order)
+                               dtdy=dtdy, theta=theta, rk_order=rk_order,
+                               riemann=riemann)
     strip_spec = pl.BlockSpec((1, 3, h, ny), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -148,27 +152,29 @@ def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
 
 @functools.partial(jax.jit, static_argnames=("TX", "G", "theta", "cs2",
                                              "dtdx", "dtdy", "rk_order",
-                                             "interpret"))
+                                             "riemann", "interpret"))
 def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
                    theta: float = 1.8, TX: int = 512, rk_order: int = 1,
-                   interpret: bool = False):
+                   riemann: str = "hlle", interpret: bool = False):
     """G fused periodic steps on [3, nx, ny]."""
     lo, hi = build_x_strips(u, TX, 2 * G * rk_order)
     return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
                                  dtdy=dtdy, theta=theta, TX=TX,
-                                 rk_order=rk_order, interpret=interpret)
+                                 rk_order=rk_order, riemann=riemann,
+                                 interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "G", "cs2", "dtdx",
                                              "dtdy", "theta", "TX",
-                                             "rk_order", "interpret"))
+                                             "rk_order", "riemann",
+                                             "interpret"))
 def advance_n_pallas_v4(u, n: int, *, G: int = 8, cs2, dtdx, dtdy,
                         theta=1.8, TX: int = 512, rk_order: int = 1,
-                        interpret: bool = False):
+                        riemann: str = "hlle", interpret: bool = False):
     assert n % G == 0
 
     def body(_, u):
         return pallas_step_v4(u, G=G, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
                               theta=theta, TX=TX, rk_order=rk_order,
-                              interpret=interpret)
+                              riemann=riemann, interpret=interpret)
     return jax.lax.fori_loop(0, n // G, body, u)

@@ -40,7 +40,8 @@ H = 2 * G      # halo rows per side at rk_order=1 (2G * rk_order generally)
 def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
                win0, win1, out0, out1,
                sin0, sin1, sout0, sout1, sg0, sg1,
-               *, gi, TX, nx, cs2, dtdx, dtdy, theta, rk_order=1):
+               *, gi, TX, nx, cs2, dtdx, dtdy, theta, rk_order=1,
+               riemann="hlle"):
     del a_ref                       # aliased to o2_ref (the initial state)
     H = 2 * G * rk_order            # shadows the rk1 module constant
 
@@ -128,7 +129,7 @@ def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
     def _advance_window(w):
         step = _step_stripe if rk_order == 1 else _step_stripe_rk2
         for _ in range(G):
-            w = step(w, cs2, dtdx, dtdy, theta)
+            w = step(w, cs2, dtdx, dtdy, theta, riemann)
         return w
 
     def block2(_, carry):
@@ -142,9 +143,10 @@ def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
 
 @functools.partial(jax.jit, static_argnames=("cs2", "dtdx", "dtdy",
                                              "theta", "TX", "rk_order",
-                                             "interpret"))
+                                             "riemann", "interpret"))
 def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
-                        TX=256, rk_order=1, interpret=False):
+                        TX=256, rk_order=1, riemann="hlle",
+                        interpret=False):
     """n fused periodic steps on [3, nx, ny] in ONE kernel launch.
 
     n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
@@ -171,7 +173,8 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     nb2 = jnp.asarray(n, jnp.int32).reshape(1) // (2 * G)
     kernel = functools.partial(_kernel_v5, gi=gi, TX=TX,
                                nx=nx, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
-                               theta=theta, rk_order=rk_order)
+                               theta=theta, rk_order=rk_order,
+                               riemann=riemann)
     o1, o2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -59,6 +59,7 @@ def make_advance_v4_sharded(mesh: Mesh, *, axis_name: str = "x",
                             G: int = 8, cs2: float, dtdx: float,
                             dtdy: float, theta: float = 1.8,
                             TX: int = 512, rk_order: int = 1,
+                            riemann: str = "hlle",
                             interpret: bool = False):
     """Distributed n-step advance over a global periodic [3, nx, ny]
     state x-sharded over ``mesh[axis_name]``.
@@ -74,7 +75,7 @@ def make_advance_v4_sharded(mesh: Mesh, *, axis_name: str = "x",
                                num_shards)
         return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
                                      dtdy=dtdy, theta=theta, TX=TX,
-                                     rk_order=rk_order,
+                                     rk_order=rk_order, riemann=riemann,
                                      interpret=interpret)
 
     spec = P(None, axis_name, None)

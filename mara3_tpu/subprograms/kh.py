@@ -59,7 +59,7 @@ def config_template():
             .item("pert", 0.01)         # vy seed amplitude
             .item("pert_k", 2)          # vy seed wavenumber (cycles/box)
             .item("plm_theta", 1.8)
-            .item("riemann", "hlle")    # hllc = jnp path only
+            .item("riemann", "hlle")    # hlle | hllc (all paths)
             .item("rk_order", 1)        # 2 = SSP-RK2 (all paths)
             # "" = auto (f32 on TPU, platform default elsewhere);
             # f32 | bf16 | f64. bf16 is the mixed-precision ceiling
@@ -179,8 +179,8 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
         kernel = jax.default_backend() == "tpu"
     nx, ny, _ = u.shape
     tx = _pick_tx(nx)
-    usable = (riemann == "hlle" and tx is not None and ny % 128 == 0
-              and abs(dx - dy) < 1e-15)
+    usable = (riemann in ("hlle", "hllc") and tx is not None
+              and ny % 128 == 0 and abs(dx - dy) < 1e-15)
     if kernel and usable and 8 * rk_order <= tx:
         from mara3_tpu.kernels import iso2d_step_v5 as K5
         interpret = kernel == "interpret"
@@ -191,7 +191,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
                 uT = K5.advance_n_pallas_v5(
                     uT, n8, cs2=cs2, dtdx=dt / dx, dtdy=dt / dy,
                     theta=theta, TX=tx, rk_order=rk_order,
-                    interpret=interpret)
+                    riemann=riemann, interpret=interpret)
             u1 = jnp.moveaxis(uT, 0, -1)
             if n - n8:
                 u1 = _advance_jnp(u1, n=n - n8, cs2=cs2, dx=dx, dy=dy,
@@ -213,7 +213,7 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
                 uT = K4.advance_n_pallas_v4(
                     uT, n4, G=4, cs2=cs2, dtdx=dt / dx, dtdy=dt / dy,
                     theta=theta, TX=tx, rk_order=rk_order,
-                    interpret=interpret)
+                    riemann=riemann, interpret=interpret)
             u1 = jnp.moveaxis(uT, 0, -1)
             if n - n4:
                 u1 = _advance_jnp(u1, n=n - n4, cs2=cs2, dx=dx, dy=dy,
@@ -227,8 +227,9 @@ def advance_n(u, n: int, *, cs2: float, dx: float, dy: float, dt: float,
             print("kh: v4 kernel unavailable, using the jnp path")
     elif kernel and not usable and not auto:
         raise ValueError(
-            f"kh kernel path needs riemann=hlle, square cells, N%128==0 "
-            f"and an even stripe count (N={nx}x{ny}, riemann={riemann})")
+            f"kh kernel path needs riemann=hlle|hllc, square cells, "
+            f"N%128==0 and an even stripe count "
+            f"(N={nx}x{ny}, riemann={riemann})")
     LAST_PATH = "jnp"
     return _advance_jnp(u, n=n, cs2=cs2, dx=dx, dy=dy, dt=dt, theta=theta,
                         riemann=riemann, rk_order=rk_order)
@@ -268,6 +269,7 @@ def make_sharded_advance(cfg, dt: float):
         mesh, G=G, cs2=cfg.get_double("cs") ** 2, dtdx=dt * n, dtdy=dt * n,
         theta=cfg.get_double("plm_theta"), TX=tx,
         rk_order=cfg.get_int("rk_order"),
+        riemann=cfg.get_string("riemann"),
         interpret=jax.default_backend() != "tpu")
     return adv, mesh, G
 

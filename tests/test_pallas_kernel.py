@@ -446,3 +446,30 @@ def test_v5_rk2_matches_jnp_rk2():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(jnp.moveaxis(ucl, -1, 0)),
                                rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("rk", [1, 2])
+def test_kernel_hllc_matches_jnp_hllc(rk):
+    """riemann='hllc' inside the v4/v5 kernels (the Toro contact-
+    restoring solver as nested selects) reproduces the jnp
+    iso2d.riemann_hllc evolution at round-off, for both RK orders."""
+    import mara3_tpu.kernels.iso2d_step_v4 as K4
+    import mara3_tpu.kernels.iso2d_step_v5 as K5
+    from mara3_tpu.schemes import iso2d_grid
+
+    nx, ny = 64, 128
+    u = jnp.moveaxis(random_state(nx, ny), -1, 0)
+    kw = dict(cs2=0.5, dtdx=0.1, dtdy=0.1, theta=1.5, rk_order=rk,
+              riemann="hllc", interpret=True)
+    got4 = K4.advance_n_pallas_v4(u, 8, G=4, TX=32, **kw)
+    got5 = K5.advance_n_pallas_v5(u, 8, TX=32, **kw)
+    ucl = jnp.moveaxis(u, 0, -1)
+    step = (iso2d_grid.step_periodic_uniform if rk == 1
+            else iso2d_grid.step_periodic_uniform_rk2)
+    for _ in range(8):
+        ucl = step(ucl, 0.5, 1.0, 1.0, 0.1, 1.5, "hllc")
+    want = np.asarray(jnp.moveaxis(ucl, -1, 0))
+    np.testing.assert_allclose(np.asarray(got4), want, rtol=1e-13,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got5), want, rtol=1e-13,
+                               atol=1e-13)

@@ -99,6 +99,10 @@ def test_export_iso2d_v4_and_v5():
     export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32, **kw), u)
     export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32, rk_order=2,
                                                 **kw), u)
+    export_tpu(lambda a: K4.advance_n_pallas_v4(a, 8, G=4, TX=32,
+                                                riemann="hllc", **kw), u)
+    export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32,
+                                                riemann="hllc", **kw), u)
 
 
 def test_export_sedov_fused():

@@ -149,3 +149,14 @@ def test_v5_rk2_compiles_on_tpu():
     out = K5.advance_n_pallas_v5(u, 8, TX=256, rk_order=2, cs2=0.1,
                                  dtdx=1e-2, dtdy=1e-2)
     assert np.isfinite(float(jnp.sum(out)))
+
+
+def test_v5_hllc_compiles_on_tpu():
+    from mara3_tpu.kernels import iso2d_step_v5 as K5
+    N = 512
+    x = jnp.linspace(-1, 1, N, dtype=jnp.float32)[:, None]
+    sigma = 1.0 + 0.5 * jnp.exp(-(x ** 2 + x.T ** 2) / 0.1)
+    u = jnp.stack([sigma, 0.0 * sigma, 0.0 * sigma], axis=0)
+    out = K5.advance_n_pallas_v5(u, 8, TX=256, riemann="hllc", cs2=0.1,
+                                 dtdx=1e-2, dtdy=1e-2)
+    assert np.isfinite(float(jnp.sum(out)))
