@@ -228,10 +228,11 @@ def bench_amrsand(repeat):
                 ms_per_step=per * 1e3, path=path())
 
 
-def bench_kh(repeat, rk_order=1):
+def bench_kh(repeat, rk_order=1, riemann="hlle"):
     """The kh product path: same v5 single-launch kernel as bench.py but
     reached through the subprogram's advance_n (path attribution shows
-    what actually executed). rk_order=2 = the in-kernel SSP-RK2."""
+    what actually executed). rk_order=2 = the in-kernel SSP-RK2;
+    riemann='hllc' = the in-kernel contact-restoring solver."""
     from mara3_tpu.subprograms import kh
     N = 2048
     cfg = kh.config_template().create().update({"N": N})
@@ -240,14 +241,15 @@ def bench_kh(repeat, rk_order=1):
         u0 = u0.astype(jnp.float32)
     dt = kh.fixed_timestep(cfg, u0)
     kw = dict(cs2=1.0, dx=1.0 / N, dy=1.0 / N, dt=dt, theta=1.8,
-              rk_order=rk_order)
+              rk_order=rk_order, riemann=riemann)
 
     def f(n):
         return kh.advance_n(u0, n, **kw)
 
     n2 = 4056 if rk_order == 1 else 2056
     zps, per = _marginal(f, N * N, 56, n2, repeat)
-    return dict(config=f"kh_rk{rk_order}", zones=N * N, zps=zps,
+    name = f"kh_rk{rk_order}" + ("" if riemann == "hlle" else f"_{riemann}")
+    return dict(config=name, zones=N * N, zps=zps,
                 ms_per_step=per * 1e3, path=kh.LAST_PATH)
 
 
@@ -260,7 +262,8 @@ BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                sedov_jnp=lambda repeat: bench_sedov(repeat, kernel=False),
                cloud=bench_cloud, cloud_multi=bench_cloud_multi,
                amrsand=bench_amrsand, kh=bench_kh,
-               kh_rk2=lambda repeat: bench_kh(repeat, rk_order=2))
+               kh_rk2=lambda repeat: bench_kh(repeat, rk_order=2),
+               kh_hllc=lambda repeat: bench_kh(repeat, riemann="hllc"))
 
 
 def main():

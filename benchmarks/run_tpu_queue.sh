@@ -6,6 +6,22 @@ set -u
 cd "$(dirname "$0")/.."
 echo "=== TPU queue start $(date) ==="
 
+# Single-instance lock: two queues measuring at once would corrupt both.
+exec 9> /tmp/tpu_queue.lock
+if ! flock -n 9; then
+  echo "another queue instance holds /tmp/tpu_queue.lock; exiting"
+  exit 1
+fi
+
+# Host CPU load (e.g. a local pytest run) inflates the dispatch latency
+# these benchmarks measure. Long-running local jobs touch
+# /tmp/cpu_busy.flag while active; wait for it to clear (max 45 min).
+for _ in $(seq 90); do
+  [ -e /tmp/cpu_busy.flag ] || break
+  echo "host busy ($(date)); waiting 30s for /tmp/cpu_busy.flag to clear"
+  sleep 30
+done
+
 probe() {
   timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1
 }
@@ -51,8 +67,8 @@ run bf16 python benchmarks/bench_bf16_trial.py
 run kh python -m mara3_tpu kh N=2048 tfinal=0.2 cpi=1.0 dfi=1.0 \
     tsi=0.05 outdir=/tmp/kh_run
 
-# 7b: official kh marginal rates incl. the in-kernel SSP-RK2
-run khbench python benchmarks/bench_all.py configs=kh,kh_rk2 repeat=3
+# 7b: official kh marginal rates incl. the in-kernel SSP-RK2 + HLLC
+run khbench python benchmarks/bench_all.py configs=kh,kh_rk2,kh_hllc repeat=3
 
 # 8: the official bench again (warm caches, confirm stability)
 run bench1 python bench.py
