@@ -132,6 +132,7 @@ def test_fused_binary_update_matches_jnp(conserve_p):
     assert bool(invf) == bool(inv)
 
 
+@pytest.mark.heavy
 def test_temporal_blocking_matches_sequential_steps():
     """G steps per launch (kernels/iso2d_step_multi.py) must equal G
     sequential jnp steps exactly."""
@@ -203,6 +204,7 @@ def test_v4_stripes_match_scheme_and_bitmatch_v3():
 
 
 @pytest.mark.parametrize("gi", [2, 4])
+@pytest.mark.heavy
 def test_v5_single_launch_run_matches_scheme(gi):
     """v5 (whole run in one launch: HBM ping-pong, hand double-buffered
     stripe DMA) must reproduce the jnp scheme over 16 steps — two full
@@ -231,6 +233,7 @@ def test_v5_single_launch_run_matches_scheme(gi):
 @pytest.mark.parametrize("conserve_p", [True, False])
 @pytest.mark.parametrize("reconstruct", ["plm", "pcm"])
 @pytest.mark.parametrize("variant", [True, "jnp_strips"])
+@pytest.mark.heavy
 def test_chunked_advance_matches_jnp(conserve_p, reconstruct, variant):
     """The single-launch chunked advance (kernels/binary_advance.py +
     the jnp coarse-fine edge fixup) must reproduce the jnp advance —
@@ -272,6 +275,7 @@ def test_chunked_advance_matches_jnp(conserve_p, reconstruct, variant):
     assert bool(invf) == bool(inv)
 
 
+@pytest.mark.heavy
 def test_chunked_advance_fault_flag():
     """A negative-density cell must raise the chunked path's fault flag
     exactly like the jnp path (value-level analog of the reference throw,
@@ -301,6 +305,7 @@ def test_chunked_advance_fault_flag():
     assert bool(inv) and bool(invf)
 
 
+@pytest.mark.heavy
 def test_chunked_advance_hllc_matches_jnp():
     """riemann=hllc must thread through both the jnp path and the chunked
     kernel identically (physics_iso2d.hpp:704-712 in the kernel)."""
@@ -384,6 +389,7 @@ def test_li_temporal_blocking_matches_sequential():
                                rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.heavy
 def test_v4_bfloat16_runs_and_tracks_f32():
     """The v4 kernel is dtype-generic down to bf16 (the bf16/mixed-
     precision ceiling trial, benchmarks/bench_bf16_trial.py): the
@@ -428,6 +434,7 @@ def test_v4_rk2_matches_jnp_rk2():
                                rtol=1e-13, atol=1e-13)
 
 
+@pytest.mark.heavy
 def test_v5_rk2_matches_jnp_rk2():
     """rk_order=2 in the v5 single-launch kernel (16-row halos, SSP-RK2
     windows) reproduces the jnp Heun scheme at round-off."""
@@ -449,6 +456,7 @@ def test_v5_rk2_matches_jnp_rk2():
 
 
 @pytest.mark.parametrize("rk", [1, 2])
+@pytest.mark.heavy
 def test_kernel_hllc_matches_jnp_hllc(rk):
     """riemann='hllc' inside the v4/v5 kernels (the Toro contact-
     restoring solver as nested selects) reproduces the jnp

@@ -266,6 +266,7 @@ def test_two_process_distributed_session(tmp_path):
 
 
 
+@pytest.mark.heavy
 def test_two_process_distributed_sedov_with_restart(tmp_path):
     """A real physics workload across two processes: sedov (euler, pcm)
     domain-decomposed over a 2-process mesh with ppermute guard exchange,
@@ -328,6 +329,7 @@ def test_two_process_distributed_sedov_with_restart(tmp_path):
     np.testing.assert_allclose(t_final, 2 * N_STEPS * dt, rtol=1e-14)
 
 
+@pytest.mark.heavy
 def test_two_process_distributed_binary_with_restart(tmp_path):
     """The flagship AMR advance across two real processes: block-sharded
     collectives (all_gather guard edges + flux strips, psum totals) under

@@ -189,6 +189,7 @@ def test_live_binary_orbital_evolution():
     assert abs(sol.orbital_elements.elements.separation - a0) < 1e-3
 
 
+@pytest.mark.heavy
 def test_binary_dynamic_regrid_conserves_and_tracks(tmp_path):
     """Dynamic regridding for the flagship (beyond the reference, whose
     trees are static): the leaf set adapts to the density-gradient

@@ -19,6 +19,7 @@ def run_cloud(tmp_path, *args):
         os.chdir(old)
 
 
+@pytest.mark.heavy
 def test_cloud_runs_and_outputs(tmp_path):
     assert run_cloud(tmp_path) == 0
     data = tmp_path / "data"
@@ -91,6 +92,7 @@ def test_new_solution_finite_in_float32():
     assert (u[..., 0] > 0).any()
 
 
+@pytest.mark.heavy
 def test_tuple_advance_matches_stacked():
     """The tuple-form hot path (_advance_once) must reproduce the stacked
     reference-semantics advance (_advance_once_stacked) exactly."""
@@ -146,6 +148,7 @@ def test_advance_rk_carry_matches_advance_rk():
     assert np.isfinite(np.asarray(p1)).all()
 
 
+@pytest.mark.heavy
 def test_pallas_flux_update_matches_jnp():
     """kernels/cloud_update.py (fused flux+update, interpret mode) vs the
     jnp _flux_update, PCM and PLM."""
@@ -196,6 +199,7 @@ def test_pallas_flux_update_matches_jnp():
                                    rtol=5e-5, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_fused_stage_matches_jnp_stage():
     """kernels/cloud_update.fused_stage (in-kernel recovery + fluxes +
     update, interpret mode) vs the jnp SoA stage, warm and cold starts."""
@@ -280,6 +284,7 @@ def test_fused_stage_matches_jnp_stage_evolved_warm():
                                rtol=5e-5, atol=1e-9)
 
 
+@pytest.mark.heavy
 def test_fused_rk2_step_matches_two_stages():
     """kernels/cloud_update.fused_step_rk2 (BOTH RK2 stages + average in
     one launch, interpret mode) must be per-cell identical to two
@@ -348,6 +353,7 @@ def test_fused_rk2_step_matches_two_stages():
                                rtol=5e-5, atol=1e-9)
 
 
+@pytest.mark.heavy
 def test_fused_run_rk2_matches_chained_steps():
     """kernels/cloud_update.fused_run_rk2 (n COMPLETE RK2 steps in ONE
     launch: HBM ping-pong, per-step inflow stack) must be per-cell
@@ -435,6 +441,7 @@ def test_cloud_fast_driver_matches_host_driver(tmp_path):
     np.testing.assert_allclose(u_f, u_h, rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_fused_run_rk1_matches_chained_stages():
     """rk=1 in the n-step launch (the reference's default rk_order) must
     match n chained fused_stage launches with the pressure carry."""

@@ -4,6 +4,7 @@ conservation to round-off, restart bit-exactness across arbitrary chunk
 boundaries, kernel-path equivalence in interpret mode, and the full CLI
 file surface."""
 
+import pytest
 import os
 
 import h5py
@@ -134,6 +135,7 @@ def test_kh_sharded_multichip_matches_jnp(tmp_path):
     assert iters % 4 == 0   # sharded chunks advance in G=4 grains
 
 
+@pytest.mark.heavy
 def test_kh_rk2_paths_agree_and_conserve(tmp_path):
     """rk_order=2: the v4 rk2 kernel path (interpret), the sharded path,
     and the jnp Heun scheme all agree; conservation holds."""

@@ -184,6 +184,7 @@ def test_sedov_higher_order_reconstruction_runs(tmp_path, reconstruct):
     ("srhd", 128),                      # sublane-crossing shift paths
 ])
 @pytest.mark.parametrize("rec", ["pcm", "plm", "weno5"])
+@pytest.mark.heavy
 def test_sedov_fused_kernel_matches_step(rec, system_name, nr):
     """kernels/sedov_step.advance_n_pallas (whole state VMEM-resident,
     G steps per launch, interpret mode) vs the jnp _step iterated: same

@@ -1,5 +1,6 @@
 """WENO-5 reconstruction tests."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,7 @@ def test_vectorized_over_components():
     np.testing.assert_allclose(L[:, 1], 2 * L[:, 0], rtol=1e-12)
 
 
+@pytest.mark.heavy
 def test_weno5_end_to_end_fifth_order_advection():
     """Full evolution convergence: periodic linear advection with WENO-5
     faces + upwind flux + SSP-RK3 (dt ~ dx^(5/3) so time error stays below
