@@ -16,6 +16,9 @@ documented. Either way the measured numbers go to PRECISION.md.
 
 Run detached: nohup python benchmarks/bench_bf16_trial.py > /tmp/bf16.log 2>&1 &
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as `python benchmarks/x.py`)
 import json
 import time
 

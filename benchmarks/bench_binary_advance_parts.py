@@ -6,6 +6,9 @@
 Scan-based marginal timing with scalar fences.
 Run: nohup python benchmarks/bench_binary_advance_parts.py > /tmp/bparts.log 2>&1 &
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as `python benchmarks/x.py`)
 import json
 import time
 from functools import partial

@@ -9,6 +9,9 @@ Measures the d6b96 rk1 fast-scan step with pieces disabled:
 Long marginal windows (5 vs 205 steps) to get under the tunnel noise.
 Run detached: nohup python benchmarks/bench_binary_decomp.py > /tmp/bdecomp.log 2>&1 &
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as `python benchmarks/x.py`)
 import json
 import time
 from functools import partial

@@ -12,6 +12,9 @@ removed (kernels/iso2d_step.py keeps exact divides); the sign-bit minmod
 
 Run detached: nohup python benchmarks/bench_fastmath.py > /tmp/fastmath.log 2>&1 &
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as `python benchmarks/x.py`)
 import json
 import time
 

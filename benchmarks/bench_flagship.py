@@ -12,6 +12,9 @@ Usage: python benchmarks/bench_flagship.py [impl=kernel|jnp|both]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (run as `python benchmarks/x.py`)
+
 import json
 import sys
 import time
