@@ -302,7 +302,13 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             pc = recover(uc, c)
             rows6 = (0, 1, 2, bs - 3, bs - 2, bs - 1)
             e6x = jnp.stack([pc[:, :, r] for r in rows6], axis=2)
-            e6y = jnp.stack([pc[:, :, :, r] for r in rows6], axis=2)
+            # lane-axis column slices carry their lane offset into the
+            # stack's tpu.concatenate, which requires matching offsets on
+            # non-concat dims (hardware-only layout-pass error; round-4
+            # smoke). Transpose the minor dims first so the y edges are
+            # sublane slices, the exact pattern e6x compiles with.
+            pcT = jnp.swapaxes(pc, 2, 3)
+            e6y = jnp.stack([pcT[:, :, r] for r in rows6], axis=2)
             e6x_scr[pl.ds(c * K2, K2)] = e6x
             e6y_scr[pl.ds(c * K2, K2)] = e6y
             if not want_cfl:

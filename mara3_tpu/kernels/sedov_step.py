@@ -109,8 +109,16 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
     if system == "srhd":
         p_scr[...] = jnp.zeros((S, L), u_ref.dtype)
 
+    def at(x, mask):
+        # single-cell read as a TRUE rank-0 scalar: a [1,1] vector slice
+        # broadcasts in both sublanes and lanes, which Mosaic's layout
+        # pass rejects on hardware (round-4 smoke); scalar full-reductions
+        # and scalar splats are proven (binary CFL reduce). The masked
+        # select costs one pass over the row but keeps every layout legal.
+        return jnp.sum(jnp.where(mask, x, 0.0))
+
     def scalar_at_last(x):
-        return x[S - 1:S, L - 1:L]
+        return at(x, last)
 
     phys = euler if system == "euler" else srhd
 
@@ -137,7 +145,8 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
                 if k < 0:
                     for j in range(-k):   # f=j -> guard cell j+k < 0
                         gi = -(j + k) - 1
-                        gval = sgn * c[0:1, gi:gi + 1]
+                        gval = sgn * at(
+                            c, jnp.logical_and(sub == 0, lane == gi))
                         z = jnp.where(
                             jnp.logical_and(sub == 0, lane == j), gval, z)
                 else:
@@ -185,8 +194,9 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
                     guard = sgn * c
                 else:
                     # only element [0,0] of the fix survives the where,
-                    # so build it from [1,1] slices
-                    c0, c1 = c[0:1, 0:1], c[0:1, 1:2]
+                    # so build it from rank-0 scalar reads
+                    c0 = at(c, first)
+                    c1 = at(c, jnp.logical_and(sub == 0, lane == 1))
                     gm1 = plm_gradient(sgn * c1, sgn * c0, c0, theta)
                     guard = sgn * c0 + 0.5 * gm1
                 Lrow.append(jnp.where(first, guard,
@@ -197,8 +207,9 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
         # the one remaining face (outer, f = nr): zero-gradient guards —
         # a [1,1] evaluation from the last row's cells
         if method == 3:
-            def sc(c, m):         # cell nr-1-m
-                return c[S - 1:S, L - 1 - m:L - m]
+            def sc(c, m):         # cell nr-1-m, as a rank-0 scalar
+                return at(c, jnp.logical_and(sub == S - 1,
+                                             lane == L - 1 - m))
 
             Ls, Rs = [], []
             for c in Pt:
