@@ -132,28 +132,6 @@ def test_fused_binary_update_matches_jnp(conserve_p):
     assert bool(invf) == bool(inv)
 
 
-@pytest.mark.heavy
-def test_temporal_blocking_matches_sequential_steps():
-    """G steps per launch (kernels/iso2d_step_multi.py) must equal G
-    sequential jnp steps exactly."""
-    import mara3_tpu.kernels.iso2d_step_multi as KM
-
-    nx, ny = 128, 128
-    u = random_state(nx, ny)
-    cs2, dx, dt, theta = 0.1, 2.0 / nx, 2e-4, 1.8
-    expected = u
-    for _ in range(4):
-        expected = iso2d_grid.step_periodic_uniform(expected, cs2, dx, dx,
-                                                    dt, theta)
-    usoa = jnp.moveaxis(u, -1, 0)
-    with pltpu.force_tpu_interpret_mode():
-        got = KM.advance_n_pallas_multi(usoa, 4, G=4, cs2=cs2, dtdx=dt / dx,
-                                        dtdy=dt / dx, theta=theta,
-                                        tile=(64, 128))
-    np.testing.assert_allclose(jnp.moveaxis(got, 0, -1), expected,
-                               rtol=1e-13, atol=1e-14)
-
-
 def test_v3_temporal_blocking_matches_sequential():
     import mara3_tpu.kernels.iso2d_step_v3 as K3
 
