@@ -2,21 +2,17 @@
 # Second-pass TPU queue (round 4): re-runs everything the first pass lost
 # to the benchmarks sys.path bug, plus the hardware smoke for the two
 # Mosaic layout fixes (sedov scalar reads, binary_multi transposed y
-# edges). Waits for the first queue's lock, then serializes as usual.
+# edges). The VM restart wiped ~/.cache/mara3_tpu_jax, so EVERY compile
+# this session is fresh — bench.py runs FIRST to repopulate the official
+# artifact's cache entry before the driver's end-of-round capture.
 # Usage: nohup bash benchmarks/run_tpu_queue2.sh > /tmp/tpu_queue2.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 echo "=== TPU queue2 waiting for lock $(date) ==="
 
 exec 9> /tmp/tpu_queue.lock
-flock 9   # blocking: start the moment the first queue finishes
+flock 9   # blocking: start the moment any first queue finishes
 echo "=== TPU queue2 start $(date) ==="
-
-for _ in $(seq 90); do
-  [ -e /tmp/cpu_busy.flag ] || break
-  echo "host busy ($(date)); waiting 30s for /tmp/cpu_busy.flag to clear"
-  sleep 30
-done
 
 probe() {
   timeout 120 python -c "import jax; jax.devices()" > /dev/null 2>&1
@@ -30,10 +26,22 @@ fi
 LOGDIR="benchmarks/logs_r4"
 mkdir -p "$LOGDIR"
 
+# Host CPU load (e.g. a local pytest run) inflates the dispatch latency
+# these benchmarks measure. Long local jobs touch /tmp/cpu_busy.flag;
+# wait for it to clear before EACH job (max 45 min per job).
+busywait() {
+  for _ in $(seq 90); do
+    [ -e /tmp/cpu_busy.flag ] || break
+    echo "host busy ($(date)); waiting 30s for /tmp/cpu_busy.flag"
+    sleep 30
+  done
+}
+
 run() {
-  local name="$1"; shift
+  local tmo="$1" name="$2"; shift 2
+  busywait
   echo "--- $name start $(date)"
-  timeout 3600 "$@" > "/tmp/q_${name}.log" 2>&1
+  timeout "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
   local rc=$?
   echo "--- $name done rc=$rc $(date)"
   tail -n 4 "/tmp/q_${name}.log" | grep -v "WARNING\|cpu_aot\|machine feature" || true
@@ -45,30 +53,42 @@ run() {
 No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 }
 
+# 0: the official artifact FIRST — fresh compile after the cache wipe;
+# this repopulates the persistent cache entry the driver's capture needs.
+run 5400 bench_r4a python bench.py
+
 # 1: hardware compile smoke for the two fixed kernels (fast: only the two)
-run smoke2 env MARA3_TPU_SMOKE=1 python -m pytest \
+run 3600 smoke2 env MARA3_TPU_SMOKE=1 python -m pytest \
     tests/test_tpu_smoke.py::test_sedov_fused_kernel_compiles_on_tpu \
     tests/test_tpu_smoke.py::test_binary_multi_kernel_compiles_on_tpu -q
 
 # 2: the K-steps-per-launch flagship kernel vs the per-step scan
-run bmulti2 python benchmarks/bench_all.py configs=binary_multi,binary repeat=3
+run 3600 bmulti2 python benchmarks/bench_all.py configs=binary_multi,binary repeat=3
 
 # 3: flagship full-step decomposition (LEAN rows + unrolled Kepler)
-run bdecomp2 python benchmarks/bench_binary_decomp.py
+run 3600 bdecomp2 python benchmarks/bench_binary_decomp.py
 
 # 4: cloud chunk=1 Newton (target <= 1.8 ms/step)
-run bcloud2 python benchmarks/bench_all.py configs=cloud,cloud_multi repeat=3
+run 3600 bcloud2 python benchmarks/bench_all.py configs=cloud,cloud_multi repeat=3
 
 # 5: fused sedov/amrsand kernels (check the path field!)
-run bkern2 python benchmarks/bench_all.py configs=sedov,sedov_srhd,amrsand repeat=3
+run 3600 bkern2 python benchmarks/bench_all.py configs=sedov,sedov_srhd,amrsand repeat=3
 
 # 6: bf16 ceiling trial (PRECISION.md accept/reject)
-run bf16_2 python benchmarks/bench_bf16_trial.py
+run 3600 bf16_2 python benchmarks/bench_bf16_trial.py
 
 # 7: the rest of the smoke suite (confirm nothing else regressed)
-run smoke3 env MARA3_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
+run 3600 smoke3 env MARA3_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
 
-# 8: the official bench again (warm caches, confirm stability)
-run bench2 python bench.py
+# 8: kh product run (first pass timed out compiling v5 with a fresh dt at
+# 2048^2; generous budget, and kzps lines name the executed kernel path)
+run 7200 kh2 python -m mara3_tpu kh N=2048 tfinal=0.2 cpi=1.0 dfi=1.0 \
+    tsi=0.05 outdir=/tmp/kh_run2
+
+# 8b: official kh marginal rates incl. the in-kernel SSP-RK2 + HLLC
+run 5400 khbench python benchmarks/bench_all.py configs=kh,kh_rk2,kh_hllc repeat=3
+
+# 9: the official bench again (warm cache now, confirm stability)
+run 3600 bench_r4b python bench.py
 
 echo "=== TPU queue2 done $(date) ==="
