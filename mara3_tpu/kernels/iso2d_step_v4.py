@@ -90,8 +90,16 @@ def _step_stripe_rk2(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
     return 0.5 * (u[:, 4:-4] + u2)
 
 
-def _kernel_v4(u_ref, lo_ref, hi_ref, out_ref, *, G, cs2, dtdx, dtdy,
-               theta, rk_order=1, riemann="hlle"):
+def _kernel_v4(par_ref, u_ref, lo_ref, hi_ref, out_ref, *, G,
+               rk_order=1, riemann="hlle"):
+    # runtime physics scalars off SMEM (scalar prefetch): one Mosaic
+    # compile serves every (cs2, dt, theta) — cast to the state dtype so
+    # the arithmetic matches the old baked-constant weak-float promotion
+    dt = u_ref.dtype
+    cs2 = par_ref[0].astype(dt)
+    dtdx = par_ref[1].astype(dt)
+    dtdy = par_ref[2].astype(dt)
+    theta = par_ref[3].astype(dt)
     u = jnp.concatenate([lo_ref[0], u_ref[...], hi_ref[0]], axis=1)
     step = _step_stripe if rk_order == 1 else _step_stripe_rk2
     for _ in range(G):
@@ -130,33 +138,37 @@ def pallas_step_v4_strips(u, lo, hi, *, G: int, cs2: float, dtdx: float,
     assert h <= TX
     assert lo.shape == hi.shape == (gi, 3, h, ny), (lo.shape, gi, h, ny)
 
-    kernel = functools.partial(_kernel_v4, G=G, cs2=cs2, dtdx=dtdx,
-                               dtdy=dtdy, theta=theta, rk_order=rk_order,
+    kernel = functools.partial(_kernel_v4, G=G, rk_order=rk_order,
                                riemann=riemann)
-    strip_spec = pl.BlockSpec((1, 3, h, ny), lambda i: (i, 0, 0, 0),
+    par_dt = jnp.promote_types(u.dtype, jnp.float32)
+    par = jnp.asarray([cs2, dtdx, dtdy, theta], par_dt)
+    strip_spec = pl.BlockSpec((1, 3, h, ny), lambda i, par: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(gi,),
-        in_specs=[pl.BlockSpec((3, TX, ny), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-                  strip_spec, strip_spec],
-        out_specs=pl.BlockSpec((3, TX, ny), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gi,),
+            in_specs=[pl.BlockSpec((3, TX, ny), lambda i, par: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      strip_spec, strip_spec],
+            out_specs=pl.BlockSpec((3, TX, ny), lambda i, par: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((3, nx, ny), u.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u, lo, hi)
+    )(par, u, lo, hi)
 
 
-@functools.partial(jax.jit, static_argnames=("TX", "G", "theta", "cs2",
-                                             "dtdx", "dtdy", "rk_order",
+@functools.partial(jax.jit, static_argnames=("TX", "G", "rk_order",
                                              "riemann", "interpret"))
 def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
                    theta: float = 1.8, TX: int = 512, rk_order: int = 1,
                    riemann: str = "hlle", interpret: bool = False):
-    """G fused periodic steps on [3, nx, ny]."""
+    """G fused periodic steps on [3, nx, ny]. cs2/dtdx/dtdy/theta are
+    runtime scalars: one compile per (shape, G, TX, rk_order, riemann)."""
     lo, hi = build_x_strips(u, TX, 2 * G * rk_order)
     return pallas_step_v4_strips(u, lo, hi, G=G, cs2=cs2, dtdx=dtdx,
                                  dtdy=dtdy, theta=theta, TX=TX,
@@ -164,17 +176,19 @@ def pallas_step_v4(u, *, G: int, cs2: float, dtdx: float, dtdy: float,
                                  interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "G", "cs2", "dtdx",
-                                             "dtdy", "theta", "TX",
-                                             "rk_order", "riemann",
-                                             "interpret"))
-def advance_n_pallas_v4(u, n: int, *, G: int = 8, cs2, dtdx, dtdy,
+@functools.partial(jax.jit, static_argnames=("G", "TX", "rk_order",
+                                             "riemann", "interpret"))
+def advance_n_pallas_v4(u, n, *, G: int = 8, cs2, dtdx, dtdy,
                         theta=1.8, TX: int = 512, rk_order: int = 1,
                         riemann: str = "hlle", interpret: bool = False):
-    assert n % G == 0
+    """n fused periodic steps. n may be TRACED (dynamic trip count, one
+    compile serves every step count); a traced n that is not a multiple
+    of G silently floor-divides — callers pre-round (kh.py does)."""
+    if isinstance(n, int):
+        assert n % G == 0 and n > 0, (n, G)
 
     def body(_, u):
         return pallas_step_v4(u, G=G, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
                               theta=theta, TX=TX, rk_order=rk_order,
                               riemann=riemann, interpret=interpret)
-    return jax.lax.fori_loop(0, n // G, body, u)
+    return jax.lax.fori_loop(0, jnp.asarray(n, jnp.int32) // G, body, u)

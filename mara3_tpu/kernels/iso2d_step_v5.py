@@ -37,13 +37,20 @@ G = 4          # steps per block; 2G = 8 matches the sublane alignment
 H = 2 * G      # halo rows per side at rk_order=1 (2G * rk_order generally)
 
 
-def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
+def _kernel_v5(nb2_ref, par_ref, a_ref, o1_ref, o2_ref,
                win0, win1, out0, out1,
                sin0, sin1, sout0, sout1, sg0, sg1,
-               *, gi, TX, nx, cs2, dtdx, dtdy, theta, rk_order=1,
-               riemann="hlle"):
+               *, gi, TX, nx, rk_order=1, riemann="hlle"):
     del a_ref                       # aliased to o2_ref (the initial state)
     H = 2 * G * rk_order            # shadows the rk1 module constant
+    # runtime physics scalars off SMEM: one Mosaic compile serves every
+    # (cs2, dt, theta) — cast to the state dtype so the arithmetic matches
+    # the baked-constant (weak Python float) promotion exactly
+    dt = o2_ref.dtype
+    cs2 = par_ref[0].astype(dt)
+    dtdx = par_ref[1].astype(dt)
+    dtdy = par_ref[2].astype(dt)
+    theta = par_ref[3].astype(dt)
 
     def in_copy(src_ref, j, w, s):
         return pltpu.make_async_copy(
@@ -141,8 +148,7 @@ def _kernel_v5(nb2_ref, a_ref, o1_ref, o2_ref,
     jax.lax.fori_loop(0, nb2_ref[0], block2, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cs2", "dtdx", "dtdy",
-                                             "theta", "TX", "rk_order",
+@functools.partial(jax.jit, static_argnames=("TX", "rk_order",
                                              "riemann", "interpret"))
 def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
                         TX=256, rk_order=1, riemann="hlle",
@@ -152,7 +158,10 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
     and may be a TRACED value — the block count rides a scalar-prefetch
     operand, so one compile serves every step count; nx a multiple of TX
-    with an even tile count; TX a multiple of 8.
+    with an even tile count; TX a multiple of 8. cs2/dtdx/dtdy/theta are
+    RUNTIME scalars (a second scalar-prefetch operand): one Mosaic
+    compile per (shape, TX, rk_order, riemann) serves every dt — a fresh
+    dt was previously a fresh multi-minute device compile.
 
     A TRACED n cannot be validated at trace time: it is floor-divided by
     2G, so a traced n that is NOT a multiple of 8 silently runs
@@ -171,14 +180,17 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
 
     a = jnp.concatenate([u[:, -H:], u, u[:, :H]], axis=1)
     nb2 = jnp.asarray(n, jnp.int32).reshape(1) // (2 * G)
+    # f32 params for f32/bf16 states (the in-kernel cast to dtype matches
+    # the old baked-float promotion); f64 params under x64 testing
+    par_dt = jnp.promote_types(dtype, jnp.float32)
+    par = jnp.asarray([cs2, dtdx, dtdy, theta], par_dt)
     kernel = functools.partial(_kernel_v5, gi=gi, TX=TX,
-                               nx=nx, cs2=cs2, dtdx=dtdx, dtdy=dtdy,
-                               theta=theta, rk_order=rk_order,
+                               nx=nx, rk_order=rk_order,
                                riemann=riemann)
     o1, o2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(memory_space=pl.ANY)),
@@ -191,9 +203,9 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
         ),
         out_shape=(jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype),
                    jax.ShapeDtypeStruct((3, nx + 2 * H, ny), dtype)),
-        input_output_aliases={1: 1},
+        input_output_aliases={2: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(nb2, a)
+    )(nb2, par, a)
     return o2[:, H:nx + H]
