@@ -69,7 +69,7 @@ def build_guard_mats(nt, bs: int, Bp: int, dtype=np.float32):
     return W, masks, T
 
 
-def _kernel(u_ref, w_ref, m_ref, t_ref, c_ref, out_ref, *, G, bs):
+def _kernel(n_ref, u_ref, w_ref, m_ref, t_ref, c_ref, out_ref, *, bs):
     Bp = u_ref.shape[0]
     out_ref[...] = u_ref[...]
     c = c_ref[...][:, :, None]                     # [Bp, 1, 1]
@@ -111,35 +111,43 @@ def _kernel(u_ref, w_ref, m_ref, t_ref, c_ref, out_ref, *, G, bs):
         out_ref[...] = u - c * (2.0 * u - u_xm1 - u_ym1)
         return carry
 
-    jax.lax.fori_loop(0, G, step, 0)
+    jax.lax.fori_loop(0, n_ref[0], step, 0)
 
 
-@partial(jax.jit, static_argnames=("dt", "num_steps", "interpret"))
-def advance_n_pallas(u0, dxb, guard_mats, dt, num_steps: int,
+@partial(jax.jit, static_argnames=("interpret",))
+def advance_n_pallas(u0, dxb, guard_mats, dt, num_steps,
                      interpret: bool = False):
     """num_steps fused upwind steps on the [B, bs, bs, 1] block array.
 
     guard_mats comes from build_guard_mats(nt, bs, Bp) with Bp the padded
     block count (pad rows are inert: no one-hot row or column touches
     them). Matches subprograms/amrsand._advance iterated num_steps times
-    at round-off."""
+    at round-off. dt and num_steps are RUNTIME values (dt feeds the
+    per-block courant operand; num_steps rides a scalar-prefetch trip
+    count): one device compile per tree shape serves every chunk."""
     B, bs = u0.shape[0], u0.shape[1]
     W, masks, T = guard_mats
     Bp = W.shape[2]
     dtype = u0.dtype
     uf = jnp.pad(jnp.asarray(u0, dtype)[..., 0], ((0, Bp - B), (0, 0),
                                                   (0, 0)))
-    c = jnp.pad((0.5 * float(dt) / jnp.asarray(dxb, dtype))[:, None],
-                ((0, Bp - B), (0, 0)))
+    # weak-typed scalar math so a Python-float dt reproduces the old
+    # baked-constant rounding exactly
+    c = jnp.pad((0.5 * dt / jnp.asarray(dxb, dtype))[:, None],
+                ((0, Bp - B), (0, 0))).astype(dtype)
+    n_op = jnp.asarray(num_steps, jnp.int32).reshape(1)
 
     out = pl.pallas_call(
-        partial(_kernel, G=num_steps, bs=bs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        partial(_kernel, bs=bs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((Bp, bs, bs), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(uf, jnp.asarray(W, dtype), jnp.asarray(masks, dtype),
+    )(n_op, uf, jnp.asarray(W, dtype), jnp.asarray(masks, dtype),
       jnp.asarray(T, dtype), c)
     return out[:B, :, :, None]

@@ -91,10 +91,13 @@ def _shift_left(x, lane):
     return _shift(x, lane, -1)
 
 
-def _kernel(u_ref, geo_ref, out_ref, *scratch,
-            G, dt, theta, method, gamma, system, warm):
+def _kernel(n_ref, par_ref, u_ref, geo_ref, out_ref, *scratch,
+            theta, method, gamma, system, warm):
     p_scr, w_scr, done_scr = scratch if scratch else (None,) * 3
     S, L = u_ref.shape[1], u_ref.shape[2]
+    # runtime chunk length + timestep off SMEM: one Mosaic compile per
+    # (shape, reconstruct, system) serves every (num_steps, dt)
+    dt = par_ref[0].astype(u_ref.dtype)
     dv = geo_ref[0]
     dal = geo_ref[1]
     dar = geo_ref[2]
@@ -239,13 +242,12 @@ def _kernel(u_ref, geo_ref, out_ref, *scratch,
         out_ref[...] = jnp.stack(news, axis=0)
         return carry
 
-    jax.lax.fori_loop(0, G, step, 0)
+    jax.lax.fori_loop(0, n_ref[0], step, 0)
 
 
-@partial(jax.jit, static_argnames=("dt", "num_steps", "reconstruct",
-                                   "plm_theta", "gamma", "system", "warm",
-                                   "interpret"))
-def advance_n_pallas(u0, vertices, dt, num_steps: int,
+@partial(jax.jit, static_argnames=("reconstruct", "plm_theta", "gamma",
+                                   "system", "warm", "interpret"))
+def advance_n_pallas(u0, vertices, dt, num_steps,
                      reconstruct: str = "pcm", plm_theta: float = 1.5,
                      gamma: float = 4.0 / 3.0, system: str = "euler",
                      warm: bool = True, interpret: bool = False):
@@ -255,15 +257,18 @@ def advance_n_pallas(u0, vertices, dt, num_steps: int,
     result matches subprograms/sedov._step iterated num_steps times (same
     formulas; the deviations are fused rounding, the hoisted 1/dv, and
     for srhd the reciprocal-first Newton spelling — all within the
-    recovery stopping tolerance). dt is a static closure constant;
-    warm=False forces the reference's cold p=0 Newton start every step.
+    recovery stopping tolerance). dt and num_steps are RUNTIME scalars
+    (scalar-prefetch operands, like iso2d v5): one device compile per
+    (shape, reconstruct, system) serves every chunk length and timestep —
+    previously each distinct chunk length of the driver loop was a fresh
+    multi-minute Mosaic compile. warm=False forces the reference's cold
+    p=0 Newton start every step.
     """
     if system == "srhd" and abs(gamma - 4.0 / 3.0) > 1e-12:
         raise ValueError("in-kernel srhd Newton is compiled for gamma=4/3")
     nr = u0.shape[0]
     S, L = _fold_shape(nr)
     dtype = u0.dtype
-    dt = float(dt)
 
     r0 = vertices[:-1]
     r1 = vertices[1:]
@@ -274,18 +279,23 @@ def advance_n_pallas(u0, vertices, dt, num_steps: int,
 
     uf = jnp.moveaxis(u0, -1, 0).reshape(5, S, L)
     method = {"pcm": 1, "plm": 2, "weno5": 3}[reconstruct]
+    n_op = jnp.asarray(num_steps, jnp.int32).reshape(1)
+    par = jnp.asarray([dt], jnp.promote_types(dtype, jnp.float32))
 
     out = pl.pallas_call(
-        partial(_kernel, G=num_steps, dt=dt, theta=plm_theta,
+        partial(_kernel, theta=plm_theta,
                 method=method, gamma=gamma, system=system, warm=warm),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((S, L), dtype)] * 3
+            if system == "srhd" else [],
+        ),
         out_shape=jax.ShapeDtypeStruct((5, S, L), dtype),
-        scratch_shapes=[pltpu.VMEM((S, L), dtype)] * 3
-        if system == "srhd" else [],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(uf, geo)
+    )(n_op, par, uf, geo)
     return jnp.moveaxis(out.reshape(5, nr), 0, -1)
