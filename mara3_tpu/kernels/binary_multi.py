@@ -367,15 +367,22 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         def t_slopes(E6, tlo, thi):
             # transverse (lane-axis) slopes of the same 4 rows; the lane
-            # extension splices the facing guard VALUES at each row
+            # extension splices the facing guard VALUES at each row.
+            # Lane rolls + masked edge splice instead of a lane-axis
+            # concatenate: slice-built operands carry vector-layout
+            # offsets, and tpu.concatenate requires matching offsets on
+            # non-concat dims (hardware-only layout-pass error; the
+            # amrsand kernel's guard splice is the proven pattern)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, C, bs), 2)
             outs = []
             for slot, r in ((0, 0), (1, 1), (4, bs - 2), (5, bs - 1)):
                 row = E6[:, :, slot]             # [Bp, C, bs]
                 lo = tlo[:, :, r][:, :, None]
                 hi = thi[:, :, r][:, :, None]
-                ext = jnp.concatenate([lo, row, hi], axis=2)
-                outs.append(_plm_val(ext[:, :, :-2], ext[:, :, 1:-1],
-                                     ext[:, :, 2:], theta))
+                left = jnp.where(lane == 0, lo, pltpu.roll(row, 1, 2))
+                right = jnp.where(lane == bs - 1, hi,
+                                  pltpu.roll(row, bs - 1, 2))
+                outs.append(_plm_val(left, row, right, theta))
             return jnp.stack(outs, axis=2) / sp_bc[..., None]
 
         # both edge-slope tensors carry the (gx, gy) component order of
