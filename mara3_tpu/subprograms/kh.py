@@ -146,17 +146,19 @@ LAST_PATH = "unset"   # executed-path attribution for benchmark artifacts
 
 
 def _pick_tx(nx: int):
-    """Largest stripe width satisfying v5's layout contract (nx % TX == 0
-    with an EVEN tile count; TX % 8 == 0)."""
-    for tx in (512, 256, 128, 64, 32, 16, 8):
+    """Stripe width satisfying v5's layout contract (nx % TX == 0 with an
+    EVEN tile count; TX % 8 == 0). 256 first: it is the bench.py-proven
+    config (1.21e10 zones/s at 2048^2), and matching the official bench
+    exactly means a kh run reuses its persistent-cache compile entry."""
+    for tx in (256, 512, 128, 64, 32, 16, 8):
         if nx % tx == 0 and (nx // tx) % 2 == 0:
             return tx
     return None
 
 
-@partial(jax.jit, static_argnames=("n", "cs2", "dx", "dy", "dt", "theta",
+@partial(jax.jit, static_argnames=("cs2", "dx", "dy", "dt", "theta",
                                    "riemann", "rk_order"))
-def _advance_jnp(u, n: int, cs2: float, dx: float, dy: float, dt: float,
+def _advance_jnp(u, n, cs2: float, dx: float, dy: float, dt: float,
                  theta: float, riemann: str, rk_order: int = 1):
     step = (iso2d_grid.step_periodic_uniform if rk_order == 1
             else iso2d_grid.step_periodic_uniform_rk2)
