@@ -232,10 +232,10 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
                   cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order):
     if rk_order == 2:
-        (unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
+        (e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
          s1_scr) = scratch
     else:
-        unew_scr, e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr = scratch
+        e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr = scratch
         s1_scr = None
     dtype = u_out_ref.dtype
     e10 = tuple(e10_ref[j] for j in range(10))
@@ -449,7 +449,12 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                 pex, pey, Gex, Gey, uc, pc, dt, bv, geo_chunk(c),
                 init_ref[pl.ds(c * K2, K2)], sp_c, bm_c,
                 cfg_tuple, cfg_flux, buffer_cfg)
-            unew_scr[pl.ds(c * K2, K2)] = u1c
+            # write the pre-flux-correction state straight into dst: passB
+            # reads only chunk-local src rows (every cross-chunk value
+            # rides the e6/guard scratches filled beforehand), so src==dst
+            # is safe and the whole-mesh unew scratch (~20 MB at d6b96,
+            # which tipped the kernel over the VMEM budget) is unnecessary
+            dst_ref[pl.ds(c * K2, K2)] = u1c
             fs_scr[0, pl.ds(c * K2, K2)] = fxlo_c
             fs_scr[1, pl.ds(c * K2, K2)] = fxhi_c
             fs_scr[2, pl.ds(c * K2, K2)] = fylo_c
@@ -496,7 +501,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         # ---- pass C: edge fixup + pad re-benign + fault reduce --------
         def passC(c, inv):
-            uc = unew_scr[pl.ds(c * K2, K2)]
+            uc = dst_ref[pl.ds(c * K2, K2)]
             dxl = fs_scr[0, pl.ds(c * K2, K2)]
             dxh = fs_scr[1, pl.ds(c * K2, K2)]
             dyl = fs_scr[2, pl.ds(c * K2, K2)]
@@ -595,7 +600,6 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
         rk_order=rk_order)
 
     scratch = [
-        pltpu.VMEM((Bp, C, bs, bs), dtype),      # unew
         pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x
         pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6y
         pltpu.VMEM((4, Bp, C, bs), dtype),       # face flux strips/deltas
