@@ -41,22 +41,32 @@ def _scalarize(f):
 
 
 def _marginal(f, zones, n1, n2, repeat=3):
-    """Best-of-`repeat` marginal zones/s between chain lengths n1 < n2."""
+    """Best-of-`repeat` marginal zones/s between chain lengths n1 < n2.
+
+    The tunnel's dispatch jitter is O(0.5 ms); if the measured delta
+    (t2-t1) is below 1 ms the marginal is noise, not signal — widen the
+    chain (n2) until the delta resolves instead of reporting a bogus
+    floored rate (an unattended queue run once printed 2.7e17 zones/s
+    for amrsand this way)."""
     g = _scalarize(f)
     assert np.isfinite(float(g(n1))), "NaN in benchmark state"
-    float(g(n2))
 
     def once(n):
         t0 = time.perf_counter()
         float(g(n))
         return time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(repeat):
-        t1 = min(once(n1) for _ in range(3))
-        t2 = min(once(n2) for _ in range(3))
-        best = min(best, max(t2 - t1, 1e-9) / (n2 - n1))
-    return zones / best, best
+    for _ in range(6):                     # widen up to 64x
+        float(g(n2))                       # warm this chain length
+        best = float("inf")
+        for _ in range(repeat):
+            t1 = min(once(n1) for _ in range(3))
+            t2 = min(once(n2) for _ in range(3))
+            best = min(best, max(t2 - t1, 1e-9) / (n2 - n1))
+        if best * (n2 - n1) >= 1e-3:       # delta resolved (>= 1 ms)
+            return zones / best, best
+        n2 = n1 + (n2 - n1) * 2
+    return zones / best, best              # give up at the cap, honest min
 
 
 def bench_advect(repeat):

@@ -58,6 +58,11 @@ run 2400 smoke_bm env MARA3_TPU_SMOKE=1 python -m pytest \
 # (the VMEM-budget fix target; expect >= 1.5e9 zones/s if it compiles)
 run 3600 bmulti3 python benchmarks/bench_all.py configs=binary_multi,binary repeat=3
 
-# 3: official bench once more so the driver's end-of-round capture hits a
+# 3: amrsand re-measure with the widened marginal (the bkern2 capture
+# floored: per-step cost is below the 100-step delta's noise; the kernel
+# itself is value-correct vs jnp on hardware at n=40)
+run 3600 bkern3 python benchmarks/bench_all.py configs=amrsand repeat=3
+
+# 4: official bench once more so the driver's end-of-round capture hits a
 # warm persistent-cache entry
 run 3600 bench_r4c python bench.py
