@@ -36,6 +36,14 @@ def test_sedov_fused_kernel_compiles_on_tpu():
     out = sedov.advance_n(u32, v32, dt, True, 2, kernel=True)
     assert sedov.LAST_PATH == "pallas:sedov_step"
     assert np.isfinite(float(jnp.sum(out)))
+    # VALUE parity vs the jnp path ON HARDWARE (isfinite alone would pass
+    # a kernel that silently ran zero steps); n=40 exercises the runtime
+    # scalar-prefetch trip count specifically
+    for n in (2, 40):
+        ok = sedov.advance_n(u32, v32, dt, True, n, kernel=True)
+        oj = sedov.advance_n(u32, v32, dt, True, n, kernel=False)
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(oj),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_amrsand_fused_kernel_compiles_on_tpu():
@@ -50,6 +58,14 @@ def test_amrsand_fused_kernel_compiles_on_tpu():
     out = amrsand.advance_n(u0, dxb, nt, 1e-4, 2, kernel=True)
     assert amrsand.LAST_PATH == "pallas:amrsand_step"
     assert np.isfinite(float(jnp.sum(out)))
+    # value parity vs jnp on hardware incl. the runtime trip count (the
+    # bkern2 capture showed isfinite-only smoke misses a floored/ignored
+    # step count; verified 2026-08-18: 6e-8 max-abs at n=40)
+    for n in (2, 40):
+        ok = amrsand.advance_n(u0, dxb, nt, 1e-4, n, kernel=True)
+        oj = amrsand.advance_n(u0, dxb, nt, 1e-4, n, kernel=False)
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(oj),
+                                   rtol=1e-5, atol=1e-7)
 
 
 def test_v5_single_launch_compiles_on_tpu():
@@ -61,6 +77,15 @@ def test_v5_single_launch_compiles_on_tpu():
     out = K5.advance_n_pallas_v5(u, 8, cs2=0.1, dtdx=1e-2, dtdy=1e-2,
                                  TX=256)
     assert np.isfinite(float(jnp.sum(out)))
+    # runtime trip-count semantics: chaining 8+8 must reproduce n=16
+    # exactly (each launch is self-contained on the periodic state, so
+    # the step sequences are identical)
+    o88 = K5.advance_n_pallas_v5(out, 8, cs2=0.1, dtdx=1e-2, dtdy=1e-2,
+                                 TX=256)
+    o16 = K5.advance_n_pallas_v5(u, 16, cs2=0.1, dtdx=1e-2, dtdy=1e-2,
+                                 TX=256)
+    np.testing.assert_allclose(np.asarray(o88), np.asarray(o16),
+                               rtol=1e-6, atol=1e-8)
 
 
 def test_cloud_fused_rk2_compiles_on_tpu():
@@ -79,6 +104,12 @@ def test_cloud_fused_rk2_compiles_on_tpu():
         jet_static, dt, 1.5, 2, 1e-6, 2, fused=True)
     assert cloud.LAST_RK_PATH == "pallas:cloud_update.fused_step_rk2"
     assert np.isfinite(float(jnp.sum(u1)))
+    # value parity vs the jnp stage on hardware (not just finiteness)
+    u1j, p1j = cloud._advance_rk_carry_soa(
+        us, p0, state.time, state.radial_vertices, state.polar_vertices,
+        jet_static, dt, 1.5, 2, 1e-6, 2, fused=False)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u1j),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_binary_multi_kernel_compiles_on_tpu():
@@ -127,6 +158,16 @@ def test_cloud_run_kernel_compiles_on_tpu():
         us, p0, state.time, state.radial_vertices, state.polar_vertices,
         jet_static, dt, 1.5, 2, 1e-6, 4)
     assert np.isfinite(float(jnp.sum(u1)))
+    # value parity on hardware vs 4 chained per-launch fused RK2 steps
+    # (tests the in-kernel step loop, not just that it compiles)
+    uc, pc, tc = us, p0, state.time
+    for _ in range(4):
+        uc, pc = cloud._advance_rk_carry_soa(
+            uc, pc, tc, state.radial_vertices, state.polar_vertices,
+            jet_static, dt, 1.5, 2, 1e-6, 2, fused=True)
+        tc = tc + dt
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(uc),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_v4_rk2_compiles_on_tpu():
