@@ -19,6 +19,10 @@ round-off.
 import os
 import sys
 
+# run as a bare script by subprocess.Popen: sys.path[0] is tests/, so the
+# package root must be added explicitly (the parent test strips the env)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_STEPS = 3
 DEPTH = 2
 BLOCK_SIZE = 8

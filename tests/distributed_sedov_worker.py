@@ -20,6 +20,10 @@ match the single-process run at round-off.
 import os
 import sys
 
+# run as a bare script by subprocess.Popen: sys.path[0] is tests/, so the
+# package root must be added explicitly (the parent test strips the env)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 N_STEPS = 10
 NR = 64  # cells = 2 decades * NR = 128 -> 64 per process

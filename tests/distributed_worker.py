@@ -14,6 +14,10 @@ sharded checkpoint write (subprog_partdom.cpp:128-135):
 import os
 import sys
 
+# run as a bare script by subprocess.Popen: sys.path[0] is tests/, so the
+# package root must be added explicitly (the parent test strips the env)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     port, rank, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
