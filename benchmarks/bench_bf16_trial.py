@@ -41,6 +41,12 @@ def initial_state(dtype):
     return jnp.stack([sigma, sigma * vx, sigma * vy], axis=0).astype(dtype)
 
 
+def _stage(msg):
+    # unattended queue runs get killed by timeout; stage lines make the
+    # hang location visible in the captured log (bf16_2 died silently)
+    print(f"[bf16 {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def measure(dtype, n1=52, n2=4052, reps=3):
     dx = 2.0 / N
     dt = 1e-4
@@ -52,8 +58,11 @@ def measure(dtype, n1=52, n2=4052, reps=3):
                                      dtdy=dt / dx, theta=THETA, TX=TX)
         return jnp.sum(out[0].astype(jnp.float32))
 
+    _stage(f"compile+warmup {dtype.__name__} n1={n1}")
     assert np.isfinite(float(f(n1)))
+    _stage(f"warmup {dtype.__name__} n2={n2}")
     float(f(n2))
+    _stage(f"timing {dtype.__name__}")
 
     def once(n):
         t0 = time.perf_counter()
@@ -65,32 +74,51 @@ def measure(dtype, n1=52, n2=4052, reps=3):
     return N * N * (n2 - n1) / max(t2 - t1, 1e-9)
 
 
-def drift(dtype, steps=100):
-    """Relative L1 error vs the f64 jnp scheme after `steps` steps."""
+def _f64_reference(steps):
+    """The f64 jnp scheme after `steps` steps, ON THE CPU BACKEND.
+
+    Pinning matters twice over: TPU f64 transcendentals are imprecise
+    (PRECISION.md), and an un-jitted per-step loop through the tunnel
+    would take hours. One jitted step dispatched 100x on host CPU is
+    seconds.
+    """
     from mara3_tpu.schemes import iso2d_grid
+    dx = 2.0 / N
+    dt = 1e-4
+    cpu = jax.devices("cpu")[0]
+    with jax.experimental.enable_x64(), jax.default_device(cpu):
+        step = jax.jit(lambda r: iso2d_grid.step_periodic_uniform(
+            r, CS2, dx, dx, dt, THETA))
+        ref = jax.device_put(jnp.moveaxis(initial_state(jnp.float64), 0, -1),
+                             cpu)
+        for _ in range(steps):
+            ref = step(ref)
+        return np.asarray(jnp.moveaxis(ref, -1, 0), np.float64)
+
+
+def drift(dtype, ref, steps=100):
+    """Relative L1 error of the dtype kernel vs the f64 CPU reference."""
     dx = 2.0 / N
     dt = 1e-4
     u = initial_state(dtype)
     out = K4.advance_n_pallas_v4(u, steps, G=G, cs2=CS2, dtdx=dt / dx,
                                  dtdy=dt / dx, theta=THETA, TX=TX)
-    with jax.experimental.enable_x64():
-        ref = jnp.moveaxis(initial_state(jnp.float64), 0, -1)
-        for _ in range(steps):
-            ref = iso2d_grid.step_periodic_uniform(ref, CS2, dx, dx, dt,
-                                                   THETA)
-        ref = np.asarray(jnp.moveaxis(ref, -1, 0), np.float64)
     got = np.asarray(out, np.float64)
     return float(np.sum(np.abs(got - ref)) / np.sum(np.abs(ref)))
 
 
 def main():
     zps32 = measure(jnp.float32)
-    zps16 = measure(jnp.bfloat16)
     print(json.dumps({"config": "v4_2048_f32", "zps": zps32}), flush=True)
+    zps16 = measure(jnp.bfloat16)
     print(json.dumps({"config": "v4_2048_bf16", "zps": zps16,
                       "speedup": zps16 / zps32}), flush=True)
-    d32 = drift(jnp.float32)
-    d16 = drift(jnp.bfloat16)
+    _stage("f64 CPU reference (100 steps)")
+    ref = _f64_reference(100)
+    _stage("drift f32")
+    d32 = drift(jnp.float32, ref)
+    _stage("drift bf16")
+    d16 = drift(jnp.bfloat16, ref)
     print(json.dumps({"drift_rel_L1_100steps": {"f32": d32, "bf16": d16},
                       "drift_per_step": {"f32": d32 / 100,
                                          "bf16": d16 / 100}}), flush=True)
