@@ -116,26 +116,47 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0):
         {"depth": depth, "block_size": block_size, "rk_order": rk_order})
     sd = B.create_solver_data(cfg)
     sol = B.create_solution(cfg, sd)
-    if multi:
-        # K complete steps per LAUNCH (kernels/binary_multi.py)
-        scan_steps = binary_step.make_multi_scan(sd, k_chunk=int(multi))
-        path = f"pallas:binary_multi(k={int(multi)})"
-    else:
-        scan_steps = binary_step.make_fast_scan(sd)
-        path = "pallas:binary_advance+fast_scan"
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
     nz = s0["conserved"].shape[0] * s0["conserved"].shape[2] * s0["conserved"].shape[3]
+    name = (f"binary_d{depth}b{block_size}_rk{rk_order}"
+            + ("_multi" if multi else ""))
 
-    def f(n):
-        s, rows = scan_steps(s0, n)
-        return s["conserved"]
+    if not multi:
+        scan_steps = binary_step.make_fast_scan(sd)
 
-    n1, n2 = (int(multi), 9 * int(multi)) if multi else (5, 45)
-    zps, per = _marginal(f, nz, n1, n2, repeat)
-    return dict(config=f"binary_d{depth}b{block_size}_rk{rk_order}"
-                + ("_multi" if multi else ""),
-                zones=nz, zps=zps, ms_per_step=per * 1e3, path=path)
+        def f(n):
+            s, rows = scan_steps(s0, n)
+            return s["conserved"]
+
+        zps, per = _marginal(f, nz, 5, 45, repeat)
+        return dict(config=name, zones=nz, zps=zps, ms_per_step=per * 1e3,
+                    path="pallas:binary_advance+fast_scan")
+
+    # K complete steps per LAUNCH (kernels/binary_multi.py). Walk a k
+    # ladder downward on failure: a VMEM-budget miss at k=16 (scratch
+    # scales with k) must still land a measured number unattended.
+    errors = {}
+    for k in [int(multi), 8, 4]:
+        if k > int(multi) or str(k) in errors:
+            continue
+        try:
+            scan_steps = binary_step.make_multi_scan(sd, k_chunk=k)
+
+            def f(n, _scan=scan_steps):
+                s, rows = _scan(s0, n)
+                return s["conserved"]
+
+            zps, per = _marginal(f, nz, k, 9 * k, repeat)
+        except Exception as e:
+            errors[str(k)] = repr(e)[:300]
+            continue
+        out = dict(config=name, zones=nz, zps=zps, ms_per_step=per * 1e3,
+                   path=f"pallas:binary_multi(k={k})")
+        if errors:
+            out["failed_k"] = errors
+        return out
+    return dict(config=name, error=errors)
 
 
 def bench_cloud_multi(repeat):
