@@ -262,13 +262,14 @@ def bench_amrsand(repeat):
                 ms_per_step=per * 1e3, path=path())
 
 
-def bench_kh(repeat, rk_order=1, riemann="hlle"):
+def bench_kh(repeat, rk_order=1, riemann="hlle", N=2048):
     """The kh product path: same v5 single-launch kernel as bench.py but
     reached through the subprogram's advance_n (path attribution shows
     what actually executed). rk_order=2 = the in-kernel SSP-RK2;
-    riemann='hllc' = the in-kernel contact-restoring solver."""
+    riemann='hllc' = the in-kernel contact-restoring solver. N=1024
+    variants exist because the rk2/hllc Mosaic compiles at 2048^2
+    exceeded the khbench job budget via the tunnel."""
     from mara3_tpu.subprograms import kh
-    N = 2048
     cfg = kh.config_template().create().update({"N": N})
     u0 = kh.initial_conserved(cfg)
     if jax.default_backend() == "tpu":
@@ -283,6 +284,8 @@ def bench_kh(repeat, rk_order=1, riemann="hlle"):
     n2 = 4056 if rk_order == 1 else 2056
     zps, per = _marginal(f, N * N, 56, n2, repeat)
     name = f"kh_rk{rk_order}" + ("" if riemann == "hlle" else f"_{riemann}")
+    if N != 2048:
+        name += f"_{N}"
     return dict(config=name, zones=N * N, zps=zps,
                 ms_per_step=per * 1e3, path=kh.LAST_PATH)
 
@@ -297,7 +300,12 @@ BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
                cloud=bench_cloud, cloud_multi=bench_cloud_multi,
                amrsand=bench_amrsand, kh=bench_kh,
                kh_rk2=lambda repeat: bench_kh(repeat, rk_order=2),
-               kh_hllc=lambda repeat: bench_kh(repeat, riemann="hllc"))
+               kh_hllc=lambda repeat: bench_kh(repeat, riemann="hllc"),
+               kh_rk2_1024=lambda repeat: bench_kh(repeat, rk_order=2,
+                                                   N=1024),
+               kh_hllc_1024=lambda repeat: bench_kh(repeat,
+                                                    riemann="hllc",
+                                                    N=1024))
 
 
 def main():
