@@ -53,11 +53,12 @@ run() {
 No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 }
 
-run 3600 bf16_3 python benchmarks/bench_bf16_trial.py
-
 run 3600 bdecomp3 python benchmarks/bench_binary_decomp.py
 
 # rk2/hllc official rows at 1024^2 — the 2048^2 Mosaic compiles for these
 # two variants ran past the khbench job budget through the tunnel; the
 # smaller grid compiles in minutes and still rides the same kernel path.
 run 5400 khsmall python benchmarks/bench_all.py configs=kh_rk2_1024,kh_hllc_1024 repeat=3
+
+# last: the trial most likely to burn its full budget on a slow compile
+run 3600 bf16_3 python benchmarks/bench_bf16_trial.py
