@@ -53,6 +53,9 @@ run() {
 No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 }
 
+# first: bisect the binary_multi d6b96 hardware NaN (small compiles)
+run 3600 bmnan python benchmarks/debug_bmulti_nan.py
+
 run 3600 bdecomp3 python benchmarks/bench_binary_decomp.py
 
 # rk2/hllc official rows at 1024^2 — the 2048^2 Mosaic compiles for these
