@@ -56,7 +56,8 @@ No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 # first: bisect the binary_multi d6b96 hardware NaN (small compiles)
 run 3600 bmnan python benchmarks/debug_bmulti_nan.py
 
-run 3600 bdecomp3 python benchmarks/bench_binary_decomp.py
-
-# last: the trial most likely to burn its full budget on a slow compile
 run 3600 bf16_3 python benchmarks/bench_bf16_trial.py
+
+# last: its headline rows (the four scan cases) were already captured in
+# bdecomp2; this pass only adds the multi_k rows (cache-warm compiles)
+run 3600 bdecomp3 python benchmarks/bench_binary_decomp.py
