@@ -57,7 +57,3 @@ No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 run 3600 bmnan python benchmarks/debug_bmulti_nan.py
 
 run 3600 bf16_3 python benchmarks/bench_bf16_trial.py
-
-# last: its headline rows (the four scan cases) were already captured in
-# bdecomp2; this pass only adds the multi_k rows (cache-warm compiles)
-run 3600 bdecomp3 python benchmarks/bench_binary_decomp.py
