@@ -28,7 +28,11 @@ import numpy as np
 
 from mara3_tpu.kernels import iso2d_step_v4 as K4
 
-N, TX, G = 2048, 512, 8
+# TX=256, G=4 is the SHIPPED v4 bench config. The trial originally ran
+# TX=512 (above the ~0.5M cells/stripe VMEM compile bound) at G=8 (whose
+# deeper unroll was abandoned in round 3 after a >45 min Mosaic compile)
+# — that combination is what burned bf16_2's whole hour in compile.
+N, TX, G = 2048, 256, 4
 CS2, THETA = 0.1, 1.8
 
 
