@@ -32,6 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 from mara3_tpu.kernels.iso2d_step import RIEMANN_1D, _plm_half
 
 
+def _roll(q, k, axis):
+    """Lane roll that also lowers for 16-bit states: Mosaic's
+    tpu.dynamic_rotate is implemented for 32-bit data only ("not
+    implemented: Rotate with non-32-bit data", observed on hardware for
+    the bf16 trial, benchmarks/logs_r4/bf16_3.log), so 16-bit values
+    round-trip through f32 — exact, two extra VPU passes per roll.
+    Wider dtypes (f64: the CPU-interpret parity configuration) roll
+    directly — an f32 round-trip would truncate them."""
+    if q.dtype.itemsize >= 4:
+        return pltpu.roll(q, k, axis)
+    return pltpu.roll(q.astype(jnp.float32), k, axis).astype(q.dtype)
+
+
 def _step_stripe(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
     """One Godunov update of a [3, NXw, NY] window.
 
@@ -63,9 +76,8 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
         # L/R states at interface j+1/2 for every j (periodic):
         # L = q_j + gh_j, R = q_{j+1} - gh_{j+1}
         # (pltpu.roll wants non-negative shifts: -1 == ny-1)
-        gh = _plm_half(pltpu.roll(q, 1, 1), q, pltpu.roll(q, ny - 1, 1),
-                       theta)
-        return q + gh, pltpu.roll(q - gh, ny - 1, 1)
+        gh = _plm_half(_roll(q, 1, 1), q, _roll(q, ny - 1, 1), theta)
+        return q + gh, _roll(q - gh, ny - 1, 1)
 
     sgl, sgr = faces_y(sgi)
     vxl, vxr = faces_y(vxi)
@@ -74,9 +86,9 @@ def _step_stripe(u, cs2, dtdx, dtdy, theta, riemann="hlle"):
     # for y faces the normal is vy: the solver's f_pn is the y-momentum flux
 
     u0 = u[:, 2:-2]
-    d0 = (fx0[1:] - fx0[:-1]) * dtdx + (fy0 - pltpu.roll(fy0, 1, 1)) * dtdy
-    d1 = (fx1[1:] - fx1[:-1]) * dtdx + (fy1 - pltpu.roll(fy1, 1, 1)) * dtdy
-    d2 = (fx2[1:] - fx2[:-1]) * dtdx + (fy2 - pltpu.roll(fy2, 1, 1)) * dtdy
+    d0 = (fx0[1:] - fx0[:-1]) * dtdx + (fy0 - _roll(fy0, 1, 1)) * dtdy
+    d1 = (fx1[1:] - fx1[:-1]) * dtdx + (fy1 - _roll(fy1, 1, 1)) * dtdy
+    d2 = (fx2[1:] - fx2[:-1]) * dtdx + (fy2 - _roll(fy2, 1, 1)) * dtdy
     return jnp.stack([u0[0] - d0, u0[1] - d1, u0[2] - d2])
 
 

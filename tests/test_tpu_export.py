@@ -103,6 +103,13 @@ def test_export_iso2d_v4_and_v5():
                                                 riemann="hllc", **kw), u)
     export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32,
                                                 riemann="hllc", **kw), u)
+    # bf16 states (the mixed-precision ceiling trial): Mosaic rotates are
+    # 32-bit-only, so v4's lane rolls must round-trip through f32
+    # (iso2d_step_v4._roll) — bf16_3 caught the raw roll failing on
+    # hardware; this guards the lowering offline
+    ub = u.astype(jnp.bfloat16)
+    export_tpu(lambda a: K4.advance_n_pallas_v4(a, 8, G=4, TX=32, **kw), ub)
+    export_tpu(lambda a: K5.advance_n_pallas_v5(a, 8, TX=32, **kw), ub)
 
 
 def test_export_sedov_fused():
