@@ -241,9 +241,16 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
     e10 = tuple(e10_ref[j] for j in range(10))
     bigpos = jnp.asarray(3.4e38 if dtype == jnp.float32 else 1e300, dtype)
 
-    # u_out_ref aliases the u input buffer (input_output_aliases): all
-    # state reads/writes go through it; u_ref is never touched
-    del u_ref
+    # u_out_ref aliases the u input buffer (input_output_aliases) in HBM,
+    # but the aliasing does NOT define the output's VMEM window contents
+    # at program start — interpret mode donates the input array (so every
+    # CPU equivalence test sees the state), while on hardware the first
+    # read of an unwritten out ref returns whatever the allocator left
+    # there (observed as NONDETERMINISTIC corruption/NaN at d6b96/d4b96,
+    # logs_r4/bmnan3.log: same config finite-but-wrong in one run, NaN in
+    # the next, fixed_dt exact yet state corrupt). Initialize the window
+    # explicitly; all later reads/writes go through u_out_ref.
+    u_out_ref[...] = u_ref[...]
 
     Wg = wg_ref[...]
     Mg = mg_ref[...]
