@@ -1,0 +1,193 @@
+"""Hardware soak for the multi-step flagship kernel (kernels/binary_multi.py).
+
+Round-5 queue item: before `multi_launch=16` can become the flagship
+default for non-live runs, the kernel needs more than the short marginal
+measurements that validated it (BASELINE.md binary_multi row) — the r4
+out-window aliasing bug only showed up on hardware, nondeterministically,
+at scale (CLAUDE.md round-4 findings). Three phases, each printing one
+PASS/FAIL line and a summary JSON at the end:
+
+A. parity drift (no regrid): d6b96 rk1, 960 steps through
+   make_hybrid_scan(k=16) vs make_fast_scan from the same state;
+   report relative L-inf/L2 on the conserved field, assert finite and
+   drift within an f32 round-off envelope for this horizon.
+B. endurance: 9600 steps multi-only in one chain of launches;
+   finite-check the result (timing-only marginals measure NaN at full
+   speed — round-4 finding) and report the sustained rate.
+C. regrid interplay: the binary SUBPROGRAM end-to-end with
+   multi_launch=16 + regrid=1 (the driver rebuilds the hybrid scan per
+   regrid, subprograms/binary.py:802-813); assert completion, finite
+   checkpoint, and that regrids actually fired.
+
+Reference behavior model: long unattended runs are the reference's
+normal operating mode (subprog_binary.cpp:394-420 main loop).
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import math
+import shutil
+import subprocess
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+RESULTS = {}
+ARGS = dict(kv.split("=", 1) for kv in sys.argv[1:])
+DEPTH = int(ARGS.get("depth", 6))
+BS = int(ARGS.get("bs", 96))
+K = int(ARGS.get("k", 16))
+
+
+def _finite(name, arr):
+    ok = bool(np.isfinite(np.asarray(arr)).all())
+    print(f"{name}: finite={ok}")
+    return ok
+
+
+def phase_a_parity(steps=int(ARGS.get("steps_a", 960)), k=K):
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+    cfg = B.create_config_template().create().update(
+        {"depth": DEPTH, "block_size": BS, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+
+    hybrid = binary_step.make_hybrid_scan(sd, k_chunk=k)
+    fast = binary_step.make_fast_scan(sd)
+
+    sm, rows_m = hybrid(dict(s0), steps)
+    um = np.asarray(sm["conserved"], dtype=np.float64)
+    rows_m = np.asarray(rows_m)
+    sf, rows_f = fast(dict(s0), steps)
+    uf = np.asarray(sf["conserved"], dtype=np.float64)
+    rows_f = np.asarray(rows_f)
+
+    ok = _finite("phase A multi", um) and _finite("phase A fast", uf)
+    scale = np.abs(uf).max(axis=(0, 2, 3), keepdims=True)
+    rel = np.abs(um - uf) / scale
+    linf = float(rel.max())
+    l2 = float(np.sqrt((rel ** 2).mean()))
+    IX = binary_step.INFO_INDEX
+    dm, df = rows_m[:, IX["dt"]], rows_f[:, IX["dt"]]
+    # the FIRST launch sees bit-identical state, so its dts must be
+    # bitwise; later steps legitimately diverge at the ulp level (state
+    # round-off feeds the CFL reduce — measured on CPU at d3b24)
+    dt_first_bitwise = bool((dm[:k] == df[:k]).all())
+    dt_rel = float((np.abs(dm - df) / df).max())
+    # f32 round-off grows ~sqrt(steps); r4 measured round-off agreement at
+    # 16 steps. 960 steps of compounding at eps~1e-7 per step stays well
+    # under 1e-2 relative unless something is structurally wrong.
+    ok = ok and linf < 1e-2 and dt_first_bitwise and dt_rel < 1e-2
+    print(f"phase A: steps={steps} rel_linf={linf:.3e} rel_l2={l2:.3e} "
+          f"dt_first_bitwise={dt_first_bitwise} dt_rel={dt_rel:.2e} "
+          f"-> {'PASS' if ok else 'FAIL'}")
+    RESULTS["parity"] = dict(steps=steps, rel_linf=linf, rel_l2=l2,
+                             dt_first_bitwise=dt_first_bitwise,
+                             dt_rel=dt_rel, ok=ok)
+    return ok, (sd, s0, hybrid)
+
+
+def phase_b_endurance(ctx, steps=int(ARGS.get("steps_b", 9600)), k=K):
+    sd, s0, hybrid = ctx
+    s = dict(s0)
+    nz = (s["conserved"].shape[0] * s["conserved"].shape[2]
+          * s["conserved"].shape[3])
+    # warm (phase A compiled the same chain shapes already)
+    s_w, _ = hybrid(s, 4 * k)
+    float(jnp.sum(s_w["conserved"]))
+    t0 = time.perf_counter()
+    done = 0
+    while done < steps:
+        n = min(64 * k, steps - done)
+        s, rows = hybrid(s, n)
+        np.asarray(rows)            # one sync per chunk, like _main_fast
+        done += n
+    wall = time.perf_counter() - t0
+    u = np.asarray(s["conserved"])
+    ok = _finite("phase B", u)
+    zps = nz * steps / wall
+    print(f"phase B: steps={steps} wall={wall:.2f}s sustained "
+          f"{zps:.3e} zones/s -> {'PASS' if ok else 'FAIL'}")
+    RESULTS["endurance"] = dict(steps=steps, wall_s=wall, zps=zps, ok=ok)
+    return ok
+
+
+def phase_c_regrid(steps_target=int(ARGS.get("steps_c", 2500))):
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+    # learn dt at this config to pick tfinal/rgi in steps, not guesses
+    cfg = B.create_config_template().create().update(
+        {"depth": DEPTH, "block_size": BS, "rk_order": 1})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    fast = binary_step.make_fast_scan(sd)
+    _, rows = fast(s0, 1)
+    dt = float(np.asarray(rows)[0, binary_step.INFO_INDEX["dt"]])
+    tfinal = steps_target * dt / (2 * math.pi)          # orbits
+    rgi = tfinal / 4                                    # ~3-4 regrids
+
+    outdir = "/tmp/soak_bmulti"
+    shutil.rmtree(outdir, ignore_errors=True)
+    argv = [sys.executable, "-m", "mara3_tpu", "binary",
+            f"depth={DEPTH}", f"block_size={BS}", "rk_order=1",
+            f"multi_launch={K}",
+            "regrid=1", f"rgi={rgi:.8g}", f"tfinal={tfinal:.8g}",
+            f"cpi={tfinal:.8g}", f"dfi={tfinal:.8g}",
+            f"tsi={tfinal / 8:.8g}", f"outdir={outdir}"]
+    print("phase C argv:", " ".join(argv))
+    t0 = time.perf_counter()
+    proc = subprocess.run(argv, capture_output=True, text=True)
+    wall = time.perf_counter() - t0
+    tail = "\n".join(proc.stdout.splitlines()[-12:])
+    print(tail)
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:])
+    regrids = sum(1 for ln in proc.stdout.splitlines()
+                  if ln.startswith("regrid:"))
+    fallback = any("falling back to per-step scan" in ln
+                   for ln in proc.stdout.splitlines())
+
+    import glob
+
+    import h5py
+    ok = proc.returncode == 0 and not fallback
+    chk = sorted(glob.glob(f"{outdir}/chkpt.*.h5"))
+    if chk:
+        with h5py.File(chk[-1], "r") as h:
+            grp = h["solution"]["conserved_u"]   # "level:ii-jj" tree keys
+            vals = [np.asarray(grp[name]) for name in grp]
+            ok = ok and len(vals) > 0 \
+                and all(np.isfinite(v).all() for v in vals)
+    else:
+        ok = False
+    print(f"phase C: rc={proc.returncode} wall={wall:.1f}s regrids={regrids} "
+          f"fallback={fallback} checkpoints={len(chk)} "
+          f"-> {'PASS' if ok else 'FAIL'}")
+    RESULTS["regrid"] = dict(rc=proc.returncode, wall_s=wall,
+                             regrids=regrids, fallback=fallback,
+                             checkpoints=len(chk), ok=ok)
+    return ok
+
+
+def main():
+    ok_a, ctx = phase_a_parity()
+    ok_b = phase_b_endurance(ctx)
+    ok_c = phase_c_regrid()
+    RESULTS["ok"] = bool(ok_a and ok_b and ok_c)
+    print("SOAK_RESULT " + json.dumps(RESULTS))
+    return 0 if RESULTS["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
