@@ -58,8 +58,10 @@ def create_config_template():
             .item("rk_order", 2)
             # K complete steps per Pallas LAUNCH in the fast driver loop
             # (kernels/binary_multi.py): 0 = off, k > 0 = the launch
-            # chunk. Opt-in until hardware-validated; scope-limited
-            # (conserve_linear_p, rk1, not live) with automatic fallback.
+            # chunk, -1 = auto (k=16 on a TPU backend, off elsewhere —
+            # the fast_step=-1 pattern). Scope: rk 1/2, plm/pcm,
+            # hlle/hllc, both formulations, binary not live during the
+            # run; anything outside falls back to the per-step scan.
             .item("multi_launch", 0)
             .item("reconstruct_method", "plm")
             # the reference pins hlle (subprog_binary_solver_data.cpp:109);
@@ -734,6 +736,8 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
     from mara3_tpu.schemes import binary_step
 
     multi_k = cfg.get_int("multi_launch")
+    if multi_k < 0:       # auto: the soak-validated chunk on real TPUs
+        multi_k = 16 if jax.default_backend() == "tpu" else 0
 
     def build_scan(sd_):
         if multi_k > 0:

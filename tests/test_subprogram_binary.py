@@ -265,3 +265,26 @@ def test_multi_launch_driver_matches_per_step(tmp_path):
         last_state(tmp_path / "multi")
     np.testing.assert_allclose(tm, tp, rtol=1e-12)
     np.testing.assert_allclose(um, up, rtol=1e-9, atol=1e-12)
+
+
+def test_multi_launch_auto_resolves_by_backend(tmp_path, capsys):
+    """multi_launch=-1 = auto: k=16 on a TPU backend, per-step scan
+    elsewhere (this test runs on CPU, so auto must mean OFF — no
+    fallback notice, because the hybrid scan is never attempted)."""
+    old = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert B.main(["binary", "depth=3", "block_size=16", "rk_order=1",
+                       "tfinal=0.02", "cpi=0.02", "tsi=0.015",
+                       "fast_step=1", "multi_launch=-1", "outdir=."]) == 0
+    finally:
+        os.chdir(old)
+    out = capsys.readouterr().out
+    assert "falling back to per-step scan" not in out
+    import glob
+
+    import h5py
+    last = sorted(glob.glob(str(tmp_path / "chkpt.*.h5")))[-1]
+    with h5py.File(last) as f:
+        for k in f["solution/conserved_u"]:
+            assert np.isfinite(f[f"solution/conserved_u/{k}"][()]).all()
