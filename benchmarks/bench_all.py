@@ -290,7 +290,13 @@ def bench_kh(repeat, rk_order=1, riemann="hlle", N=2048):
                 ms_per_step=per * 1e3, path=kh.LAST_PATH)
 
 
-BENCHES = dict(advect=bench_advect, sedov=bench_sedov, binary=bench_binary,
+BENCHES = dict(advect=bench_advect, sedov=bench_sedov,
+               # the flagship headline rides the product-default advance
+               # path: the soak-validated multi-step kernel (hybrid k=16,
+               # subprograms/binary.py multi_launch auto). The per-step
+               # scan stays measurable as binary_perstep.
+               binary=lambda repeat: bench_binary(repeat, multi=16),
+               binary_perstep=bench_binary,
                binary7=lambda repeat: bench_binary(repeat, depth=7),
                binary_multi=lambda repeat: bench_binary(repeat, multi=16),
                binary7_multi=lambda repeat: bench_binary(repeat, depth=7,

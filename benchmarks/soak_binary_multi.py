@@ -11,9 +11,11 @@ A. parity drift (no regrid): d6b96 rk1, 960 steps through
    make_hybrid_scan(k=16) vs make_fast_scan from the same state;
    report relative L-inf/L2 on the conserved field, assert finite and
    drift within an f32 round-off envelope for this horizon.
-B. endurance: 9600 steps multi-only in one chain of launches;
-   finite-check the result (timing-only marginals measure NaN at full
-   speed — round-4 finding) and report the sustained rate.
+B. fault-aware endurance: 9600 steps through BOTH paths, tracking the
+   first FLAGGED fault (rows' invalid column) and the first non-finite
+   state. Negative-density faults are physics the driver repairs; NaN
+   with no flag is kernel corruption (exactly how the r4 aliasing bug
+   presented), and fault timing must roughly agree between paths.
 C. regrid interplay: the binary SUBPROGRAM end-to-end with
    multi_launch=16 + regrid=1 (the driver rebuilds the hybrid scan per
    regrid, subprograms/binary.py:802-813); assert completion, finite
@@ -51,7 +53,7 @@ def _finite(name, arr):
     return ok
 
 
-def phase_a_parity(steps=int(ARGS.get("steps_a", 960)), k=K):
+def build_ctx(k=K):
     from mara3_tpu.schemes import binary_step
     from mara3_tpu.subprograms import binary as B
     cfg = B.create_config_template().create().update(
@@ -60,8 +62,12 @@ def phase_a_parity(steps=int(ARGS.get("steps_a", 960)), k=K):
     sol = B.create_solution(cfg, sd)
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
+    return sd, s0, binary_step.make_hybrid_scan(sd, k_chunk=k)
 
-    hybrid = binary_step.make_hybrid_scan(sd, k_chunk=k)
+
+def phase_a_parity(ctx, steps=int(ARGS.get("steps_a", 960)), k=K):
+    from mara3_tpu.schemes import binary_step
+    sd, s0, hybrid = ctx
     fast = binary_step.make_fast_scan(sd)
 
     sm, rows_m = hybrid(dict(s0), steps)
@@ -93,31 +99,69 @@ def phase_a_parity(steps=int(ARGS.get("steps_a", 960)), k=K):
     RESULTS["parity"] = dict(steps=steps, rel_linf=linf, rel_l2=l2,
                              dt_first_bitwise=dt_first_bitwise,
                              dt_rel=dt_rel, ok=ok)
-    return ok, (sd, s0, hybrid)
+    return ok
+
+
+def _run_chunked(scan, s0, steps, chunk, ix):
+    """Advance `steps` in `chunk`-step launches, recording the first
+    FLAGGED fault step (rows' invalid column) and the first chunk whose
+    state is non-finite (checked device-side — never read 200 MB back).
+    Stops early once both are known."""
+    s = dict(s0)
+    first_fault = first_nan = None
+    done = 0
+    t0 = time.perf_counter()
+    while done < steps:
+        n = min(chunk, steps - done)
+        s, rows = scan(s, n)
+        rows = np.asarray(rows)                 # the chunk's device sync
+        if first_fault is None and (rows[:, ix["invalid"]] > 0).any():
+            first_fault = done + int(np.argmax(rows[:, ix["invalid"]] > 0))
+        if first_nan is None and not bool(
+                jnp.isfinite(s["conserved"]).all()):
+            first_nan = done + n
+        done += n
+        if first_fault is not None and first_nan is not None:
+            break
+    return dict(first_fault=first_fault, first_nan=first_nan, ran=done,
+                wall_s=time.perf_counter() - t0)
 
 
 def phase_b_endurance(ctx, steps=int(ARGS.get("steps_b", 9600)), k=K):
+    """Fault-aware endurance: a NaN is acceptable ONLY past a FLAGGED
+    fault (negative density is physics — the product driver repairs it,
+    subprograms/binary._main_fast), and the multi path's first fault must
+    roughly match the per-step scan's. r4's aliasing bug manifested
+    precisely as UNflagged non-finite state, so flag-free NaN = FAIL."""
+    from mara3_tpu.schemes import binary_step
     sd, s0, hybrid = ctx
-    s = dict(s0)
-    nz = (s["conserved"].shape[0] * s["conserved"].shape[2]
-          * s["conserved"].shape[3])
-    # warm (phase A compiled the same chain shapes already)
-    s_w, _ = hybrid(s, 4 * k)
-    float(jnp.sum(s_w["conserved"]))
-    t0 = time.perf_counter()
-    done = 0
-    while done < steps:
-        n = min(64 * k, steps - done)
-        s, rows = hybrid(s, n)
-        np.asarray(rows)            # one sync per chunk, like _main_fast
-        done += n
-    wall = time.perf_counter() - t0
-    u = np.asarray(s["conserved"])
-    ok = _finite("phase B", u)
-    zps = nz * steps / wall
-    print(f"phase B: steps={steps} wall={wall:.2f}s sustained "
-          f"{zps:.3e} zones/s -> {'PASS' if ok else 'FAIL'}")
-    RESULTS["endurance"] = dict(steps=steps, wall_s=wall, zps=zps, ok=ok)
+    fast = binary_step.make_fast_scan(sd)
+    IX = binary_step.INFO_INDEX
+    nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
+          * s0["conserved"].shape[3])
+
+    m = _run_chunked(hybrid, s0, steps, 64 * k, IX)
+    f = _run_chunked(fast, s0, steps, 256, IX)
+    zps = nz * m["ran"] / m["wall_s"]
+
+    def explained(r):
+        return r["first_nan"] is None or (
+            r["first_fault"] is not None
+            and r["first_fault"] <= r["first_nan"])
+
+    ok = explained(m) and explained(f)
+    # fault timing: trajectories diverge at round-off, so allow slack —
+    # but the multi path faulting while the per-step path runs clean to
+    # the horizon (or vice versa at <1/2 the step count) is structural
+    if (m["first_fault"] is None) != (f["first_fault"] is None):
+        ok = False
+    elif m["first_fault"] is not None:
+        lo, hi = sorted([m["first_fault"], f["first_fault"]])
+        ok = ok and (lo > 0 and hi / max(lo, 1) < 2.0)
+    print(f"phase B: steps={steps} multi={m} fast={f} "
+          f"sustained {zps:.3e} zones/s -> {'PASS' if ok else 'FAIL'}")
+    RESULTS["endurance"] = dict(steps=steps, multi=m, fast=f, zps=zps,
+                                ok=ok)
     return ok
 
 
@@ -181,10 +225,16 @@ def phase_c_regrid(steps_target=int(ARGS.get("steps_c", 2500))):
 
 
 def main():
-    ok_a, ctx = phase_a_parity()
-    ok_b = phase_b_endurance(ctx)
-    ok_c = phase_c_regrid()
-    RESULTS["ok"] = bool(ok_a and ok_b and ok_c)
+    phases = ARGS.get("phases", "abc")
+    oks = []
+    ctx = build_ctx() if ("a" in phases or "b" in phases) else None
+    if "a" in phases:
+        oks.append(phase_a_parity(ctx))
+    if "b" in phases:
+        oks.append(phase_b_endurance(ctx))
+    if "c" in phases:
+        oks.append(phase_c_regrid())
+    RESULTS["ok"] = bool(all(oks))
     print("SOAK_RESULT " + json.dumps(RESULTS))
     return 0 if RESULTS["ok"] else 1
 
