@@ -54,6 +54,12 @@ No-Verification-Needed: measurement log artifact only" 2>/dev/null || true
 # 1. the decisive fault-aware endurance rerun (multi vs per-step)
 run 5400 soak_bmulti2 python benchmarks/soak_binary_multi.py phases=b
 
+# 1b. the PRODUCT driver through the same horizon: if phase B's NaN is
+# a flagged fault, this run must show "negative density: step retried
+# in safe mode" and still complete with finite checkpoints (the repair
+# path riding the multi kernel end-to-end)
+run 5400 soak_bmulti3 python benchmarks/soak_binary_multi.py phases=c steps_c=9600
+
 # 2. flagship d7b96 multi rate (k ladder 16->8->4 inside bench_all)
 run 7200 b7multi python benchmarks/bench_all.py configs=binary7_multi repeat=3
 
