@@ -102,24 +102,43 @@ def phase_a_parity(ctx, steps=int(ARGS.get("steps_a", 960)), k=K):
     return ok
 
 
-def _run_chunked(scan, s0, steps, chunk, ix):
+def _first_nonfinite_step(scan, s_prev, n, fine):
+    """Replay a NaN-bearing chunk in `fine`-step launches to locate the
+    first non-finite step within it (to launch granularity for the multi
+    path, exactly for the per-step path)."""
+    s2 = dict(s_prev)
+    done2 = 0
+    while done2 < n:
+        m = min(fine, n - done2)
+        s2, _ = scan(s2, m)
+        done2 += m
+        if not bool(jnp.isfinite(s2["conserved"]).all()):
+            return done2
+    return n        # nondeterministic repro guard: fall back to chunk end
+
+
+def _run_chunked(scan, s0, steps, chunk, ix, fine=1):
     """Advance `steps` in `chunk`-step launches, recording the first
-    FLAGGED fault step (rows' invalid column) and the first chunk whose
-    state is non-finite (checked device-side — never read 200 MB back).
-    Stops early once both are known."""
+    FLAGGED fault step (rows' invalid column) and the first non-finite
+    step — located by replaying the offending chunk at `fine`-step
+    granularity (r4 ADVICE: a chunk-granular first_nan let late unflagged
+    corruption hide behind an early flagged fault). State checks are
+    device-side — never read 200 MB back. Stops early once both are
+    known."""
     s = dict(s0)
     first_fault = first_nan = None
     done = 0
     t0 = time.perf_counter()
     while done < steps:
         n = min(chunk, steps - done)
+        s_prev = s
         s, rows = scan(s, n)
         rows = np.asarray(rows)                 # the chunk's device sync
         if first_fault is None and (rows[:, ix["invalid"]] > 0).any():
             first_fault = done + int(np.argmax(rows[:, ix["invalid"]] > 0))
         if first_nan is None and not bool(
                 jnp.isfinite(s["conserved"]).all()):
-            first_nan = done + n
+            first_nan = done + _first_nonfinite_step(scan, s_prev, n, fine)
         done += n
         if first_fault is not None and first_nan is not None:
             break
@@ -140,8 +159,8 @@ def phase_b_endurance(ctx, steps=int(ARGS.get("steps_b", 9600)), k=K):
     nz = (s0["conserved"].shape[0] * s0["conserved"].shape[2]
           * s0["conserved"].shape[3])
 
-    m = _run_chunked(hybrid, s0, steps, 64 * k, IX)
-    f = _run_chunked(fast, s0, steps, 256, IX)
+    m = _run_chunked(hybrid, s0, steps, 64 * k, IX, fine=k)
+    f = _run_chunked(fast, s0, steps, 256, IX, fine=1)
     zps = nz * m["ran"] / m["wall_s"]
 
     def explained(r):
@@ -197,15 +216,25 @@ def phase_c_regrid(steps_target=int(ARGS.get("steps_c", 2500))):
     print(tail)
     if proc.returncode != 0:
         print(proc.stderr[-3000:])
-    regrids = sum(1 for ln in proc.stdout.splitlines()
-                  if ln.startswith("regrid:"))
-    fallback = any("falling back to per-step scan" in ln
-                   for ln in proc.stdout.splitlines())
+    lines = proc.stdout.splitlines()
+    regrid_idx = [i for i, ln in enumerate(lines)
+                  if ln.startswith("regrid:")]
+    fb_idx = [i for i, ln in enumerate(lines)
+              if "falling back to per-step scan" in ln]
+    regrids = len(regrid_idx)
+    fallback = bool(fb_idx)
+    # graceful fallback AFTER mesh growth is correct product behavior
+    # (the multi kernel's VMEM eligibility guard + the driver's runtime
+    # OOM backstop — the r4 soak DIED here instead, logs_r4/
+    # soak_bmulti.log); fallback BEFORE the first regrid means the multi
+    # path never engaged, which defeats the phase = FAIL
+    fallback_at_start = bool(fb_idx) and (
+        not regrid_idx or fb_idx[0] < regrid_idx[0])
 
     import glob
 
     import h5py
-    ok = proc.returncode == 0 and not fallback
+    ok = proc.returncode == 0 and not fallback_at_start
     chk = sorted(glob.glob(f"{outdir}/chkpt.*.h5"))
     if chk:
         with h5py.File(chk[-1], "r") as h:
@@ -216,10 +245,11 @@ def phase_c_regrid(steps_target=int(ARGS.get("steps_c", 2500))):
     else:
         ok = False
     print(f"phase C: rc={proc.returncode} wall={wall:.1f}s regrids={regrids} "
-          f"fallback={fallback} checkpoints={len(chk)} "
-          f"-> {'PASS' if ok else 'FAIL'}")
+          f"fallback={fallback} fallback_at_start={fallback_at_start} "
+          f"checkpoints={len(chk)} -> {'PASS' if ok else 'FAIL'}")
     RESULTS["regrid"] = dict(rc=proc.returncode, wall_s=wall,
                              regrids=regrids, fallback=fallback,
+                             fallback_at_start=fallback_at_start,
                              checkpoints=len(chk), ok=ok)
     return ok
 

@@ -67,6 +67,42 @@ ROW_TPREV = 11   # step-start time, EXACTLY as the in-kernel hydro saw it
 #                  (a cumsum reconstruction outside differs by 1 ulp and
 #                  the near-circular element inversion amplifies that)
 
+# Mosaic's scoped-VMEM ceiling for this kernel (CompilerParams below) and
+# the eligibility threshold make_multi_scan guards against. The model is
+# EMPIRICAL, anchored to the round-4 hardware OOM (logs_r4/soak_bmulti.log
+# and soak_bmulti3.log): at Bp=148, bs=96, C=3, rk1, K2=4 the compiler's
+# scoped stack allocation measured 123.87 MB against the 120 MB limit,
+# while Bp=136 at the same shapes compiled and ran. Slope through the
+# origin: 123.87/148 MB/block = 5.95x the padded per-block state window
+# (C * bs * lane_pad(bs) * 4 bytes) — declared scratches account for ~60%
+# of that; the rest is compiler-allocated temporaries that also scale
+# with the mesh. The threshold sits between the known-good 136-block
+# point (est 113.8) and the known-bad 148 (est 123.9); the driver's
+# runtime catch (subprograms/binary._main_fast) backstops model error.
+VMEM_SCOPED_LIMIT_MB = 120.0
+VMEM_GUARD_MB = 116.0
+_DARK_FACTOR_RK1 = 5.95      # scoped MB per (block-state window) at rk1
+_DARK_FACTOR_RK2 = 7.45      # + s1_scr window and its temporaries
+
+
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def estimate_scoped_vmem_mb(Bp: int, bs: int, C: int = 3,
+                            rk_order: int = 1, K2: int = 4,
+                            itemsize: int = 4) -> float:
+    """Predicted Mosaic scoped-VMEM footprint of advance_k_pallas in MB
+    (see the anchor notes above). K2 > 4 adds a rough chunk-temporary
+    term (the anchor point had K2=4; pick_chunk never exceeds 4 at
+    bs=96)."""
+    window_mb = C * bs * _lane_pad(bs) * itemsize / 1024 / 1024
+    factor = _DARK_FACTOR_RK2 if rk_order == 2 else _DARK_FACTOR_RK1
+    est = factor * window_mb * Bp
+    if K2 > 4:
+        est += (K2 - 4) * 10.0 * window_mb
+    return est
+
 
 class _BodiesVals:
     """Scalar-indexable bodies[(k, j)] over in-kernel computed scalars,

@@ -427,6 +427,21 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     fixed = sd.recommended_time_step if sd.fixed_dt else None
     interpret = jax.default_backend() != "tpu"
 
+    # VMEM eligibility: the kernel keeps the whole mesh resident, so its
+    # scoped footprint grows with the block count and a mid-run regrid
+    # can push a previously-fine mesh over Mosaic's ceiling — the round-4
+    # soak died exactly this way (136 -> 148 blocks, logs_r4/
+    # soak_bmulti.log). Raise NotImplementedError so the caller's
+    # existing fallback (subprograms/binary.build_scan) selects the
+    # per-step scan instead of crashing at first execution.
+    if not interpret:
+        est = BM.estimate_scoped_vmem_mb(Bp, bs, C=3, rk_order=rk, K2=K2)
+        if est > BM.VMEM_GUARD_MB:
+            raise NotImplementedError(
+                f"multi-step kernel over VMEM budget: ~{est:.0f} MB "
+                f"estimated for {Bp} blocks (bs={bs}, rk{rk}) vs the "
+                f"{BM.VMEM_GUARD_MB:.0f} MB guard")
+
     from mara3_tpu.schemes.binary_scheme import _work_done
 
     def chunk_body(s, _):

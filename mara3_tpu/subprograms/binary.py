@@ -37,6 +37,24 @@ from mara3_tpu.schemes import binary_scheme
 from mara3_tpu.schemes.binary_scheme import SchemeConfig
 
 
+def resolve_multi_launch(cfg_value: int, backend: str) -> int:
+    """multi_launch config -> effective launch chunk k: -1 = auto (the
+    soak-validated k=16 on real TPU backends, per-step scan elsewhere),
+    0 = off, k > 0 explicit."""
+    if cfg_value < 0:
+        return 16 if backend == "tpu" else 0
+    return cfg_value
+
+
+def _is_vmem_oom(e: Exception) -> bool:
+    """Mosaic/XLA scoped-VMEM exhaustion as surfaced through the runtime
+    (logs_r4/soak_bmulti3.log: 'Ran out of memory in memory space vmem
+    ... Scoped allocation with size 123.87M and limit 120.00M')."""
+    msg = str(e)
+    return ("vmem" in msg.lower() or "Scoped allocation" in msg
+            or "RESOURCE_EXHAUSTED" in msg)
+
+
 def create_config_template():
     """(subprog_binary.cpp:50-99)."""
     return (ConfigTemplate()
@@ -735,11 +753,11 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
 
     from mara3_tpu.schemes import binary_step
 
-    multi_k = cfg.get_int("multi_launch")
-    if multi_k < 0:       # auto: the soak-validated chunk on real TPUs
-        multi_k = 16 if jax.default_backend() == "tpu" else 0
+    multi_k = resolve_multi_launch(cfg.get_int("multi_launch"),
+                                   jax.default_backend())
 
     def build_scan(sd_):
+        """Returns (scan_steps, is_hybrid)."""
         if multi_k > 0:
             try:
                 # eligibility also needs "never live during this run":
@@ -747,12 +765,13 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
                 if cfg.get_double("tfinal") * 2 * math.pi \
                         >= sd_.begin_live_binary:
                     raise NotImplementedError("live binary")
-                return binary_step.make_hybrid_scan(sd_, k_chunk=multi_k)
+                return binary_step.make_hybrid_scan(
+                    sd_, k_chunk=multi_k), True
             except NotImplementedError as e:
                 print(f"multi_launch: falling back to per-step scan ({e})")
-        return binary_step.make_fast_scan(sd_)
+        return binary_step.make_fast_scan(sd_), False
 
-    scan_steps = build_scan(sd)
+    scan_steps, scan_is_hybrid = build_scan(sd)
     IX = binary_step.INFO_INDEX
     dtype = jnp.asarray(sd.initial_conserved).dtype
     s = binary_step.solution_to_arrays(state.solution, dtype)
@@ -766,6 +785,28 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         ("record_time_series", cfg.get_double("tsi") * 2 * math.pi)]
 
     retry_step = None                      # built lazily (faults are rare)
+
+    def run_scan(s_, n_):
+        """scan_steps with a VMEM-OOM backstop: the multi kernel's scoped
+        footprint scales with the block count and the build-time estimate
+        (kernels/binary_multi.estimate_scoped_vmem_mb) is a model — if
+        Mosaic still runs out at compile time (surfaces at first
+        execution), fall back to the per-step scan permanently instead of
+        dying (the reference never crashes on mesh growth)."""
+        nonlocal scan_steps, scan_is_hybrid
+        if not scan_is_hybrid:
+            return scan_steps(s_, n_)
+        try:
+            return scan_steps(s_, n_)
+        except Exception as e:                      # noqa: BLE001
+            if not _is_vmem_oom(e):
+                raise
+            print("multi_launch: falling back to per-step scan "
+                  "(kernel compile exceeded the VMEM budget on this mesh)")
+            scan_steps = binary_step.make_fast_scan(sd)
+            scan_is_hybrid = False
+            return scan_steps(s_, n_)
+
     CHUNKS = (256, 64, 16, 4, 1)
     t_now = float(s["time"])
     t_f64 = float(state.solution.time)     # float64 time anchor
@@ -790,7 +831,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         left = bad
         while left > 0:
             c = next(cc for cc in CHUNKS if cc <= left)
-            s2, r2 = scan_steps(s2, c)
+            s2, r2 = run_scan(s2, c)
             good.append(np.asarray(r2))
             left -= c
         s2, info = retry_step(s2)
@@ -809,7 +850,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
                 binary_step.arrays_to_solution(s, Solution), sd, cfg)
             if sd2 is not sd:
                 sd = sd2
-                scan_steps = build_scan(sd)
+                scan_steps, scan_is_hybrid = build_scan(sd)
                 retry_step = None
                 num_zones = (len(sd.leaves)
                              * sd.geometry[0].shape[1] ** 2)
@@ -835,7 +876,7 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
 
         t0 = _time.perf_counter()
         s_prev = s
-        s, rows = scan_steps(s, n)
+        s, rows = run_scan(s, n)
         rows = np.asarray(rows)            # the chunk's single device sync
         ms = (_time.perf_counter() - t0) * 1e3
 
