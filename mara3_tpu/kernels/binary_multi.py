@@ -70,19 +70,22 @@ ROW_TPREV = 11   # step-start time, EXACTLY as the in-kernel hydro saw it
 # Mosaic's scoped-VMEM ceiling for this kernel (CompilerParams below) and
 # the eligibility threshold make_multi_scan guards against. The model is
 # EMPIRICAL, anchored to the round-4 hardware OOM (logs_r4/soak_bmulti.log
-# and soak_bmulti3.log): at Bp=148, bs=96, C=3, rk1, K2=4 the compiler's
-# scoped stack allocation measured 123.87 MB against the 120 MB limit,
-# while Bp=136 at the same shapes compiled and ran. Slope through the
-# origin: 123.87/148 MB/block = 5.95x the padded per-block state window
-# (C * bs * lane_pad(bs) * 4 bytes) — declared scratches account for ~60%
-# of that; the rest is compiler-allocated temporaries that also scale
-# with the mesh. The threshold sits between the known-good 136-block
-# point (est 113.8) and the known-bad 148 (est 123.9); the driver's
-# runtime catch (subprograms/binary._main_fast) backstops model error.
+# and soak_bmulti3.log): at Bp=148, bs=96, C=3, rk1, K2=4 the THEN-current
+# kernel (u input VMEM-staged) measured 123.87 MB of scoped stack against
+# the 120 MB limit, while Bp=136 at the same shapes compiled and ran.
+# Slope through the origin: 123.87/148 MB/block = 5.95x the padded
+# per-block state window (C * bs * lane_pad(bs) * 4 bytes) — declared
+# scratches account for ~60% of that; the rest is compiler-allocated
+# temporaries that also scale with the mesh. The u input now stays in HBM
+# (pl.ANY + one DMA, round 5), removing exactly one window/block from the
+# anchor: rk1 factor 5.95 - 1.0. rk2 adds the s1_scr window plus ~0.5 for
+# its temporaries (no hardware anchor yet — conservative until the queue
+# probe lands). The driver's runtime catch (subprograms/binary._main_fast)
+# backstops model error in both directions.
 VMEM_SCOPED_LIMIT_MB = 120.0
 VMEM_GUARD_MB = 116.0
-_DARK_FACTOR_RK1 = 5.95      # scoped MB per (block-state window) at rk1
-_DARK_FACTOR_RK2 = 7.45      # + s1_scr window and its temporaries
+_DARK_FACTOR_RK1 = 4.95      # scoped MB per (block-state window) at rk1
+_DARK_FACTOR_RK2 = 6.45      # + s1_scr window and its temporaries
 
 
 def _lane_pad(n: int) -> int:
@@ -269,9 +272,10 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order):
     if rk_order == 2:
         (e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
-         s1_scr) = scratch
+         s1_scr, u_sem) = scratch
     else:
-        e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr = scratch
+        (e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
+         u_sem) = scratch
         s1_scr = None
     dtype = u_out_ref.dtype
     e10 = tuple(e10_ref[j] for j in range(10))
@@ -286,7 +290,14 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
     # logs_r4/bmnan3.log: same config finite-but-wrong in one run, NaN in
     # the next, fixed_dt exact yet state corrupt). Initialize the window
     # explicitly; all later reads/writes go through u_out_ref.
-    u_out_ref[...] = u_ref[...]
+    #
+    # The u input stays in HBM (pl.ANY in_spec) and is read exactly once,
+    # here, by DMA: a VMEM-staged window would cost a second whole-mesh
+    # residency (~21.8 MB at d6b96 — the margin by which the r4 regrid
+    # soak OOM'd, see estimate_scoped_vmem_mb above).
+    cp = pltpu.make_async_copy(u_ref, u_out_ref, u_sem)
+    cp.start()
+    cp.wait()
 
     Wg = wg_ref[...]
     Mg = mg_ref[...]
@@ -652,12 +663,14 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
     ]
     if rk_order == 2:
         scratch.append(pltpu.VMEM((Bp, C, bs, bs), dtype))   # stage state
+    scratch.append(pltpu.SemaphoreType.DMA)                  # u HBM->VMEM
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
     u_out, rows = pl.pallas_call(
         kernel,
-        in_specs=[smem, smem] + [vmem] * 10,
+        in_specs=[smem, smem, anys] + [vmem] * 9,
         out_specs=(vmem, vmem),
         out_shape=(jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
                    jax.ShapeDtypeStruct((k_steps * rk_order, 16, 128),

@@ -300,16 +300,23 @@ def test_resolve_multi_launch_by_backend():
 
 
 def test_multi_vmem_estimate_matches_r4_hardware_anchor():
-    """The scoped-VMEM model must sit on the correct side of both r4
-    hardware data points (logs_r4/soak_bmulti3.log): 136 blocks at d6b96
-    rk1 compiled and ran; 148 OOM'd at 123.87 MB vs the 120 MB limit."""
+    """The scoped-VMEM model is anchored to the r4 hardware OOM
+    (logs_r4/soak_bmulti3.log: 148 blocks at d6b96 rk1 -> 123.87 MB with
+    the u input VMEM-staged; 136 compiled and ran). The u input now rides
+    HBM (one DMA), removing one window/block, so 148 must FIT (the soak's
+    regrid stays on the multi path) while meshes past ~166 blocks at
+    these shapes must be rejected at build time."""
     from mara3_tpu.kernels import binary_multi as BM
-    ok = BM.estimate_scoped_vmem_mb(136, 96, C=3, rk_order=1, K2=4)
-    bad = BM.estimate_scoped_vmem_mb(148, 96, C=3, rk_order=1, K2=4)
-    assert ok < BM.VMEM_GUARD_MB < bad
-    assert abs(bad - 123.87) / 123.87 < 0.15          # near the anchor
+    e136 = BM.estimate_scoped_vmem_mb(136, 96, C=3, rk_order=1, K2=4)
+    e148 = BM.estimate_scoped_vmem_mb(148, 96, C=3, rk_order=1, K2=4)
+    assert e136 < e148 < BM.VMEM_GUARD_MB
+    # pre-diet anchor arithmetic: +1 window/block reproduces the OOM
+    w = 3 * 96 * 128 * 4 / 1024 / 1024
+    assert abs((e148 + w * 148) - 123.87) / 123.87 < 0.05
+    assert BM.estimate_scoped_vmem_mb(176, 96, rk_order=1) \
+        > BM.VMEM_GUARD_MB
     # rk2 adds the stage-state scratch: strictly costlier
-    assert BM.estimate_scoped_vmem_mb(136, 96, rk_order=2) > ok
+    assert BM.estimate_scoped_vmem_mb(136, 96, rk_order=2) > e136
 
 
 def test_multi_scan_vmem_guard_raises_on_tpu(monkeypatch):
