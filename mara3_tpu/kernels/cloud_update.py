@@ -99,9 +99,11 @@ def _hlle_t(Pl, Pr, axis):
 
 
 def _kernel(pe_ref, u0_ref, dv_ref, invr_ref, cotq_ref, dar_ref,
-            daql_ref, daqh_ref, u1_ref, pe_scratch, dar_scratch,
-            sem1, sem2, *, TX, NQ, NR, dt, theta, method):
+            daql_ref, daqh_ref, par_ref, u1_ref, pe_scratch, dar_scratch,
+            sem1, sem2, *, TX, NQ, NR, theta, method):
     i = pl.program_id(0)
+    # dt off SMEM (see _kernel_rk2): compile survives dt changes
+    dt = par_ref[0].astype(u0_ref.dtype)
 
     dma1 = pltpu.make_async_copy(
         pe_ref.at[:, pl.ds(i * TX, TX + 8)], pe_scratch, sem1)
@@ -211,8 +213,9 @@ def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
     dar2 = jnp.pad(dAr, ((0, 7), (0, 0)))
 
     kernel = functools.partial(_kernel, TX=TX, NQ=NQ, NR=NR,
-                               dt=float(dt), theta=float(plm_theta),
+                               theta=float(plm_theta),
                                method=int(method))
+    par = jnp.asarray([dt], jnp.promote_types(dtype, jnp.float32))
 
     blocked = lambda: pl.BlockSpec((TX, NQ), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
@@ -230,6 +233,7 @@ def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
             pl.BlockSpec(memory_space=pl.ANY),       # dAr2 (manual DMA)
             blocked(),                               # dAq low
             blocked(),                               # dAq high
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dt
         ],
         out_specs=pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
@@ -246,7 +250,7 @@ def fused_flux_update(Pe_soa, u0_soa, dv, invr, cotq, dAr, daq_lo, daq_hi,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(pe2, u0_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)
+    )(pe2, u0_soa, dv, invr, cotq, dar2, daq_lo, daq_hi, par)
 
 
 # -----------------------------------------------------------------------------
@@ -338,13 +342,15 @@ def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref,
 
 
 def _kernel_v2(inflow_ref, ue_ref, pg_ref, dvw_ref, u0_ref, dv_ref,
-               invr_ref, cotq_ref, dar_ref, daql_ref, daqh_ref,
+               invr_ref, cotq_ref, dar_ref, daql_ref, daqh_ref, par_ref,
                u1_ref, pout_ref,
                ue_scratch, pg_scratch, dvw_scratch, dar_scratch,
                p_scr, w_scr, done_scr,
                sem1, sem2, sem3, sem4,
-               *, TX, NQ, NR, dt, theta, method, tfloor):
+               *, TX, NQ, NR, theta, method, tfloor):
     i = pl.program_id(0)
+    # dt off SMEM (see _kernel_rk2): compile survives dt changes
+    dt = par_ref[0].astype(u0_ref.dtype)
 
     dmas = []
     for ref, scratch, sem, rows in (
@@ -469,8 +475,9 @@ def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
     dar2 = jnp.pad(dAr, ((0, 7), (0, 0)))
 
     kernel = functools.partial(_kernel_v2, TX=TX, NQ=NQ, NR=NR,
-                               dt=float(dt), theta=float(plm_theta),
+                               theta=float(plm_theta),
                                method=int(method), tfloor=float(tfloor))
+    par = jnp.asarray([dt], jnp.promote_types(dtype, jnp.float32))
 
     blocked = lambda: pl.BlockSpec((TX, NQ), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
@@ -492,6 +499,7 @@ def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
             pl.BlockSpec(memory_space=pl.ANY),       # dAr2 (manual DMA)
             blocked(),                               # dAq low
             blocked(),                               # dAq high
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dt
         ],
         out_specs=(
             pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
@@ -519,7 +527,8 @@ def fused_stage(inflow, u_soa, p_guess, dv, invr, cotq, dAr, daq_lo,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(inflow, ue2, pg2, dv2, u_soa, dv, invr, cotq, dar2, daq_lo, daq_hi)
+    )(inflow, ue2, pg2, dv2, u_soa, dv, invr, cotq, dar2, daq_lo, daq_hi,
+      par)
 
 
 # -----------------------------------------------------------------------------
@@ -716,13 +725,18 @@ def _rk1_body(inflow1, ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s,
 
 
 def _kernel_rk2(inflow1_ref, inflow2_ref, ue_ref, pg_ref, dvw_ref, dar_ref,
-                invr_ref, cotq_ref, daql_ref, daqh_ref,
+                invr_ref, cotq_ref, daql_ref, daqh_ref, par_ref,
                 uout_ref, pout_ref,
                 ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
                 u1w_s, p_scr, w_scr, done_scr,
                 sems,
-                *, TX, NQ, NR, dt, theta, method, tfloor):
+                *, TX, NQ, NR, theta, method, tfloor):
     i = pl.program_id(0)
+    # dt off SMEM: one Mosaic compile serves every dt = dr_min * cfl (a
+    # fresh cfl_number previously meant a fresh >15 min device compile
+    # at NR=2048, r3 findings). Cast to the state dtype so arithmetic
+    # matches the old baked-weak-float promotion exactly.
+    dt = par_ref[0].astype(ue_s.dtype)
 
     dmas = []
     for k, (ref, scratch, rows) in enumerate((
@@ -774,8 +788,9 @@ def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
     daqh3 = jnp.pad(daq_hi, ((4, 4), (0, 0)))
 
     kernel = functools.partial(_kernel_rk2, TX=TX, NQ=NQ, NR=NR,
-                               dt=float(dt), theta=float(plm_theta),
+                               theta=float(plm_theta),
                                method=int(method), tfloor=float(tfloor))
+    par = jnp.asarray([dt], jnp.promote_types(dtype, jnp.float32))
 
     win = lambda: pltpu.VMEM((TX + 8, NQ), dtype)
 
@@ -787,7 +802,8 @@ def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
                          memory_space=pltpu.VMEM),   # inflow at t
             pl.BlockSpec((5, NQ), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # inflow at t + dt
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 8,
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 8
+          + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(
             pl.BlockSpec((5, TX, NQ), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -809,19 +825,23 @@ def fused_step_rk2(inflow1, inflow2, u_soa, p_guess, dv, invr, cotq, dAr,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(inflow1, inflow2, ue3, pg3, dv3, dar3, invr3, cotq3, daql3, daqh3)
+    )(inflow1, inflow2, ue3, pg3, dv3, dar3, invr3, cotq3, daql3, daqh3,
+      par)
 
 
 def _kernel_run(inflows_ref, u_in_ref, p_in_ref, dv_ref, dar_ref,
-                invr_ref, cotq_ref, daql_ref, daqh_ref,
+                invr_ref, cotq_ref, daql_ref, daqh_ref, par_ref,
                 uA_ref, uB_ref, pA_ref, pB_ref,
                 ue_s, pg_s, dvw_s, dar_s, invr_s, cotq_s, daql_s, daqh_s,
                 u1w_s, p_scr, w_scr, done_scr, ustage, pstage, sems,
-                *, n_pairs, gi, TX, NQ, NR, dt, theta, method, tfloor,
+                *, n_pairs, gi, TX, NQ, NR, theta, method, tfloor,
                 rk):
     # u_in/p_in alias uA/pA (input_output_aliases); all access goes
     # through the A/B refs
     del u_in_ref, p_in_ref
+    # dt off SMEM (see _kernel_rk2): one compile per shape serves every
+    # dt = dr_min * cfl
+    dt = par_ref[0].astype(ue_s.dtype)
     TXb = TX + 8         # the body's nominal TX: window TXb + 8 = TX + 16
 
     def do_step(s_idx, src_u, src_p, dst_u, dst_p):
@@ -917,16 +937,18 @@ def fused_run_rk2(inflows, u_soa, p_guess, dv, invr, cotq, dAr,
     daqh3 = jnp.pad(daq_hi, ((8, 8), (0, 0)))
 
     kernel = functools.partial(_kernel_run, n_pairs=n // 2, gi=gi, TX=TX,
-                               NQ=NQ, NR=NR, dt=float(dt),
+                               NQ=NQ, NR=NR,
                                theta=float(plm_theta), method=int(method),
                                tfloor=float(tfloor), rk=int(rk))
+    par = jnp.asarray([dt], jnp.promote_types(dtype, jnp.float32))
 
     win = lambda: pltpu.VMEM((TX + 16, NQ), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     uA, uB, pA, pB = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [any_spec] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [any_spec] * 8
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(any_spec, any_spec, any_spec, any_spec),
         out_shape=(
             jax.ShapeDtypeStruct(ue3.shape, dtype),
@@ -948,6 +970,6 @@ def fused_run_rk2(inflows, u_soa, p_guess, dv, invr, cotq, dAr,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(inflows, dtype), ue3, pg3, dv3, dar3, invr3, cotq3,
-      daql3, daqh3)
+      daql3, daqh3, par)
     del uB, pB                      # even n: the final state is in A
     return uA[:, 8:NR + 8], pA[8:NR + 8]

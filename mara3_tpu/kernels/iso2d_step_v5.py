@@ -40,7 +40,8 @@ H = 2 * G      # halo rows per side at rk_order=1 (2G * rk_order generally)
 def _kernel_v5(nb2_ref, par_ref, a_ref, o1_ref, o2_ref,
                win0, win1, out0, out1,
                sin0, sin1, sout0, sout1, sg0, sg1,
-               *, gi, TX, nx, rk_order=1, riemann="hlle"):
+               *, gi, TX, nx, rk_order=1, riemann="hlle",
+               stage_loop=False):
     del a_ref                       # aliased to o2_ref (the initial state)
     H = 2 * G * rk_order            # shadows the rk1 module constant
     # runtime physics scalars off SMEM: one Mosaic compile serves every
@@ -135,9 +136,33 @@ def _kernel_v5(nb2_ref, par_ref, a_ref, o1_ref, o2_ref,
 
     def _advance_window(w):
         step = _step_stripe if rk_order == 1 else _step_stripe_rk2
-        for _ in range(G):
-            w = step(w, cs2, dtdx, dtdy, theta, riemann)
-        return w
+        if not stage_loop:
+            for _ in range(G):
+                w = step(w, cs2, dtdx, dtdy, theta, riemann)
+            return w
+        # fori_loop form: the step body is emitted ONCE instead of G
+        # times — the unrolled rk2/hllc bodies at 2048^2 cost >85 min of
+        # Mosaic compile through the tunnel (BASELINE.md r4; khrk2 blew a
+        # 3 h job budget). The loop needs a constant-shape carry, so each
+        # iteration re-pads the shrunken window with benign rows (sg=1,
+        # v=0: finite, no divide-by-zero). Contamination from the pad
+        # advances 2 rows/side per stage — exactly the rows the temporal
+        # blocking discards — so the TX-row core out0/out1 consume is
+        # bit-identical to the unrolled form (tests/test_pallas_kernel).
+        # Cost: each stage computes the full (TX+2H)-row window instead
+        # of the shrinking one: +2-4% redundant VPU work at TX=256.
+        hh = 2 * rk_order                  # rows lost per side per step
+        nyw = w.shape[2]
+        cap = jnp.concatenate(
+            [jnp.ones((1, hh, nyw), w.dtype),
+             jnp.zeros((2, hh, nyw), w.dtype)], axis=0)
+
+        def body(_, ww):
+            un = step(ww, cs2, dtdx, dtdy, theta, riemann)
+            return jnp.concatenate([cap, un, cap], axis=1)
+
+        w = jax.lax.fori_loop(0, G, body, w)
+        return w[:, G * hh:-(G * hh)]
 
     def block2(_, carry):
         run_block(o2_ref, o1_ref)      # o2 holds the current state
@@ -149,10 +174,11 @@ def _kernel_v5(nb2_ref, par_ref, a_ref, o1_ref, o2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("TX", "rk_order",
-                                             "riemann", "interpret"))
+                                             "riemann", "interpret",
+                                             "stage_loop"))
 def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
                         TX=256, rk_order=1, riemann="hlle",
-                        interpret=False):
+                        interpret=False, stage_loop=None):
     """n fused periodic steps on [3, nx, ny] in ONE kernel launch.
 
     n must be a multiple of 2G = 8 (the ping-pong runs blocks in pairs)
@@ -166,10 +192,19 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     A TRACED n cannot be validated at trace time: it is floor-divided by
     2G, so a traced n that is NOT a multiple of 8 silently runs
     ``(n // 8) * 8`` steps. Callers passing traced step counts must
-    pre-round to a multiple of 8 (bench.py does)."""
+    pre-round to a multiple of 8 (bench.py does).
+
+    stage_loop: emit the G-step body once (lax.fori_loop + benign
+    re-padding, bit-identical core) instead of unrolling it — cuts the
+    Mosaic compile wall (>85 min for the unrolled rk2/hllc bodies at
+    2048^2, r4) at +2-4% redundant VPU work. None = auto: loop for the
+    compile-wall configs (rk2 or hllc), unrolled for the measured
+    rk1/hlle headline path."""
     _, nx, ny = u.shape
     gi = nx // TX
     H = 2 * G * rk_order            # halo rows (shadows the rk1 constant)
+    if stage_loop is None:
+        stage_loop = rk_order == 2 or riemann != "hlle"
     if isinstance(n, int):
         assert n % (2 * G) == 0 and n > 0, n
     assert rk_order in (1, 2), rk_order
@@ -186,7 +221,7 @@ def advance_n_pallas_v5(u, n, *, cs2, dtdx, dtdy, theta=1.8,
     par = jnp.asarray([cs2, dtdx, dtdy, theta], par_dt)
     kernel = functools.partial(_kernel_v5, gi=gi, TX=TX,
                                nx=nx, rk_order=rk_order,
-                               riemann=riemann)
+                               riemann=riemann, stage_loop=stage_loop)
     o1, o2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -462,9 +462,12 @@ def _flux_update(Pt, u0, inflow, geometry, dt, plm_theta: float,
         axis=-1)
 
 
-@partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta", "method",
+# dt is TRACED (not static): the fused kernels read it off SMEM, so one
+# Mosaic compile — the >15 min wall at NR=2048 (r3) — serves every
+# dt = dr_min * cfl
+@partial(jax.jit, static_argnames=("jet_static", "plm_theta", "method",
                                    "temperature_floor", "rk_order"))
-def _advance_rk(u0, t, rv, qv, jet_static, dt: float, plm_theta: float,
+def _advance_rk(u0, t, rv, qv, jet_static, dt, plm_theta: float,
                 method: int, temperature_floor: float, rk_order: int):
     # the SoA carry path does the work (fully-fused kernel on TPU,
     # stage-warm-started Newton); this wrapper keeps the component-last
@@ -560,10 +563,10 @@ def _advance_rk_carry_soa(us, p_prev, t, rv, qv, jet_static, dt,
     return 0.5 * us + 0.5 * u2, p2
 
 
-@partial(jax.jit, static_argnames=("jet_static", "dt", "plm_theta",
+@partial(jax.jit, static_argnames=("jet_static", "plm_theta",
                                    "method", "temperature_floor",
                                    "rk_order"))
-def _advance_rk_carry(u0, p_prev, t, rv, qv, jet_static, dt: float,
+def _advance_rk_carry(u0, p_prev, t, rv, qv, jet_static, dt,
                       plm_theta: float, method: int,
                       temperature_floor: float, rk_order: int):
     """_advance_rk with the recovered pressure carried across steps, so
@@ -822,12 +825,12 @@ def _main_fast(cfg, state: AppState) -> int:
              and us.shape[2] % 128 == 0 and rk in (1, 2))
 
     @partial(jax.jit, static_argnames=("n",))
-    def chunk_scan(u, pw, t0, n: int):
+    def chunk_scan(u, pw, t0, dt_, n: int):
         def body(carry, _):
             u_, p_, td = carry
             u1, p1 = _advance_rk_carry_soa(u_, p_, td, rv, qv, jet_static,
-                                           dt, theta, method, tfloor, rk)
-            return (u1, p1, td + dt), None
+                                           dt_, theta, method, tfloor, rk)
+            return (u1, p1, td + dt_), None
         (u, pw, _), _ = jax.lax.scan(body, (u, pw, t0), length=n)
         return u, pw
 
@@ -837,7 +840,9 @@ def _main_fast(cfg, state: AppState) -> int:
                                          jet_static, dt, theta, method,
                                          tfloor, n, rk=rk)
             return u, pw
-        return chunk_scan(u, pw, jnp.asarray(t0, u.dtype), n)
+        # dt rides as a TRACED arg so the compiled chunk (and its Mosaic
+        # kernels) is dt-independent
+        return chunk_scan(u, pw, jnp.asarray(t0, u.dtype), dt, n)
 
     CHUNKS = (64, 16, 4, 1)
     eps = 1e-12
