@@ -66,6 +66,11 @@ ROW_INVALID = 10
 ROW_TPREV = 11   # step-start time, EXACTLY as the in-kernel hydro saw it
 #                  (a cumsum reconstruction outside differs by 1 ulp and
 #                  the near-circular element inversion amplifies that)
+# live-binary rows (lanes 0-9 hold the 10 packed element components):
+ROW_DACC = 12      # per-stage accretion perturbation diff(E, e_acc)
+ROW_DGRV = 13      # per-stage gravitational perturbation diff(E, e_grv)
+ROW_OE = 14        # post-step carried elements (last stage row of a step)
+ROW_OE_STAGE = 15  # stage-START elements (the E the stage's hydro saw)
 
 # Mosaic's scoped-VMEM ceiling for this kernel (CompilerParams below) and
 # the eligibility threshold make_multi_scan guards against. The model is
@@ -213,11 +218,14 @@ def _kepler_bodies(e10, t, dtype):
     """bodies scalars at time t from packed elements (the traced
     two_body_jax.compute_two_body_state, computed in [1, 128] vector form
     throughout so every transcendental/irrational op stays on the VPU —
-    Mosaic's scalar core has no sin/cos/sqrt; the binary is not live here
-    so e10 is a launch constant). Returns ((m,x,y,vx,vy), x2)."""
+    Mosaic's scalar core has no sin/cos/sqrt). e10 entries may be SMEM
+    scalars (launch-constant elements) or [1, 128] vectors (the LIVE
+    element carry). Returns ((m,x,y,vx,vy), x2)."""
     (POMEGA, TAU, CMX, CMY, CMVX, CMVY, A, M, Q, E) = range(10)
 
     def vec(s):
+        if getattr(s, "ndim", 0) == 2:
+            return s.astype(dtype)
         return jnp.full((1, 128), s, dtype)
 
     a, Mt, q, ecc = vec(e10[A]), vec(e10[M]), vec(e10[Q]), vec(e10[E])
@@ -265,11 +273,117 @@ def _kepler_bodies(e10, t, dtype):
             transform(m2, x2, y2, vx2, vy2))
 
 
+def _atan2(y, x):
+    """Full-quadrant atan2 from Mosaic-lowerable ops only (no atan2/atan/
+    asin lowering exists in the TPU Pallas backend — checked against
+    jax/_src/pallas/mosaic/lowering.py): octant-reduce to a = min/max in
+    [0, 1], seed with a degree-7 odd minimax polynomial (Hastings, err
+    ~1e-5), then three Newton steps on f(t) = tan(t) - a using
+    cos^2 t = 1/(1 + tan^2 t) — quadratic convergence lands at machine
+    precision in f32 and f64 (tan IS lowerable), and the same code runs
+    in interpret mode so CPU equivalence tests exercise the real chain.
+    Matches np.arctan2 conventions except the sign of atan2(-0.0, -1)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    amin = jnp.minimum(ax, ay)
+    amax = jnp.maximum(ax, ay)
+    a = jnp.where(amax == 0.0, 0.0, amin / jnp.where(amax == 0.0, 1.0, amax))
+    a2 = a * a
+    t = a * (0.9998660 + a2 * (-0.3302995 + a2 * (0.1801410
+                                                  + a2 * (-0.0851330))))
+    for _ in range(3):
+        e = jnp.tan(t)
+        t = t + (a - e) / (1.0 + e * e)
+    t = jnp.where(ay > ax, 0.5 * jnp.pi - t, t)
+    t = jnp.where(x < 0.0, jnp.pi - t, t)
+    return jnp.where(y < 0.0, -t, t)
+
+
+def _elements_from_bodies(b1, b2, t):
+    """models/two_body_jax.compute_orbital_elements in [1, 128] vector
+    form, formula for formula (model_two_body.hpp:294-402). b1/b2 are
+    5-sequences (m, x, y, vx, vy) of [1, 128] values; returns the
+    10-tuple of packed elements. Unbound orbits yield NaN (the host path
+    raises)."""
+    M1, M2 = b1[0], b2[0]
+    Mt = M1 + M2
+    q = M2 / M1
+    x_cm = (b1[1] * M1 + b2[1] * M2) / Mt
+    y_cm = (b1[2] * M1 + b2[2] * M2) / Mt
+    vx_cm = (b1[3] * M1 + b2[3] * M2) / Mt
+    vy_cm = (b1[4] * M1 + b2[4] * M2) / Mt
+
+    x1, y1 = b1[1] - x_cm, b1[2] - y_cm
+    x2, y2 = b2[1] - x_cm, b2[2] - y_cm
+    r1 = jnp.hypot(x1, y1)
+    r2 = jnp.hypot(x2, y2)
+    vx1, vy1 = b1[3] - vx_cm, b1[4] - vy_cm
+    vx2, vy2 = b2[3] - vx_cm, b2[4] - vy_cm
+    vf1 = -vx1 * y1 / r1 + vy1 * x1 / r1
+    vf2 = -vx2 * y2 / r2 + vy2 * x2 / r2
+    v1 = jnp.hypot(vx1, vy1)
+
+    E1 = 0.5 * M1 * (vx1 ** 2 + vy1 ** 2)
+    E2 = 0.5 * M2 * (vx2 ** 2 + vy2 ** 2)
+    L = M1 * r1 * vf1 + M2 * r2 * vf2
+    En = E1 + E2 - M1 * M2 / (r1 + r2)
+    En = jnp.where(En < 0.0, En, jnp.nan)
+
+    a = -0.5 * M1 * M2 / En
+    b = jnp.sqrt(-0.5 * L * L / En * Mt / (M1 * M2))
+    ecc = jnp.sqrt(jnp.clip(1.0 - b * b / (a * a), 0.0, 1.0))
+    omega = jnp.sqrt(Mt / a ** 3)
+
+    a1 = a * q / (1.0 + q)
+    b1_ = b * q / (1.0 + q)
+
+    circ = ecc == 0.0
+    safe_e = jnp.where(circ, 1.0, ecc)
+    cn = jnp.where(circ, x1 / r1, (1.0 - r1 / a1) / safe_e)
+    cf = a1 / r1 * (cn - ecc)
+    root = jnp.sqrt(1.0 - ecc * ecc)
+    sn = jnp.where(circ, y1 / r1,
+                   (vx1 * x1 + vy1 * y1) / (safe_e * v1 * r1)
+                   * jnp.sqrt(1.0 - ecc * ecc * cn * cn))
+    sf = (b1_ / r1) * sn
+
+    cE = (ecc + cf) / (1.0 + ecc * cf)
+    sE = root * sf / (1.0 + ecc * cf)
+
+    EE = _atan2(sE, cE)
+    MM = EE - ecc * sE
+    tau = t - MM / omega
+
+    ax = +(cn - ecc) * x1 + sn * root * y1
+    ay = +(cn - ecc) * y1 - sn * root * x1
+    pomega = _atan2(ay, ax)
+
+    return (pomega, tau, x_cm, y_cm, vx_cm, vy_cm, a, Mt, q, ecc)
+
+
+def _wrap_vec(delta, period):
+    """two_body_jax._wrap: min(|delta|, |delta +- period|) selection."""
+    lo = delta + period
+    hi = delta - period
+    best = jnp.where(jnp.abs(lo) < jnp.abs(delta), lo, delta)
+    return jnp.where(jnp.abs(hi) < jnp.abs(best), hi, best)
+
+
+def _diff10(a10, b10):
+    """two_body_jax.diff on 10-tuples of [1, 128] values: b - a with
+    pomega wrapped mod 2 pi and tau mod b's orbital period."""
+    d = [bj - aj for aj, bj in zip(a10, b10)]
+    d[0] = _wrap_vec(b10[0] - a10[0], 2 * jnp.pi)
+    period = 2 * jnp.pi / jnp.sqrt(b10[7] / b10[6] ** 3)
+    d[1] = _wrap_vec(b10[1] - a10[1], period)
+    return tuple(d)
+
+
 def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   mg_ref, tmat_ref, wc_ref, rmat_ref, fm_ref, bmask_ref,
                   u_out_ref, rows_ref, *scratch,
                   k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
-                  cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order):
+                  cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order,
+                  live_cfg=None):
     if rk_order == 2:
         (e6x_scr, e6y_scr, fs_scr, g_scr, gp_scr, gg_scr,
          s1_scr, u_sem) = scratch
@@ -590,8 +704,77 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             + jnp.where(jnp.logical_and(rows16 == ROW_TPREV, cols16 == 0),
                         t_stage, 0.0)
 
-    def step(k, t):
-        bodies1 = _kepler_bodies(e10, t, dtype)
+    def pack_elems(vals10, row):
+        """Scatter a 10-tuple of [1, 128] (replicated) values into lanes
+        0-9 of `row` of a [16, 128] tile."""
+        acc = jnp.zeros((16, 128), dtype)
+        for j, v in enumerate(vals10):
+            acc = acc + jnp.where(
+                jnp.logical_and(rows16 == row, cols16 == j),
+                _scalar(v), 0.0)
+        return acc
+
+    def extract(tile, r, col):
+        """Scalar at (r, col) of a [16, 128] totals tile value."""
+        m = jnp.logical_and(rows16 == r, cols16 == col)
+        return jnp.sum(jnp.where(m, tile, 0.0))
+
+    def live_update(E, c_tile, bodies, t, dt):
+        """Per-stage orbital-element evolution — the traced analog of
+        binary_step.stage's bookkeeping (subprog_binary_scheme.cpp:
+        882-902) in [1, 128] vector form: accreted mass/momentum +
+        integrated force -> perturbed body sets -> element inversion ->
+        periodic-aware diffs -> E + (d_acc + d_grv + d_cm) * live.
+        Returns (E_next, d_acc, d_grv) as 10-tuples."""
+        live_after, no_acc_force = live_cfg
+
+        def vec(s):
+            return jnp.full((1, 128), s, dtype) \
+                if getattr(s, "ndim", 0) != 2 else s
+
+        acc1, acc2, grv1, grv2 = [], [], [], []
+        for k in range(2):
+            m, x, y = bodies[k][0], bodies[k][1], bodies[k][2]
+            vx, vy = bodies[k][3], bodies[k][4]
+            dM = extract(c_tile, 0, k)
+            dpx = extract(c_tile, 3, k)
+            dpy = extract(c_tile, 4, k)
+            fx = extract(c_tile, 5, k)
+            fy = extract(c_tile, 6, k)
+            if no_acc_force:
+                avx, avy = vx, vy
+            else:
+                avx = (m * vx + dpx) / (m + dM)
+                avy = (m * vy + dpy) / (m + dM)
+            (acc1 if k == 0 else acc2).extend(
+                [vec(m + dM), vec(x), vec(y), vec(avx), vec(avy)])
+            (grv1 if k == 0 else grv2).extend(
+                [vec(m), vec(x), vec(y), vec(vx + fx / m),
+                 vec(vy + fy / m)])
+
+        tv = jnp.full((1, 128), t, dtype)
+        Ev = tuple(jnp.full((1, 128), e, dtype)
+                   if getattr(e, "ndim", 0) != 2 else e for e in E)
+        d_acc = _diff10(Ev, _elements_from_bodies(acc1, acc2, tv))
+        d_grv = _diff10(Ev, _elements_from_bodies(grv1, grv2, tv))
+        # d_cm: CM drift (two_body_jax.diff_cm) — nonzero only at CMX/CMY
+        live = jnp.where(t > live_after, 1.0, 0.0).astype(dtype)
+        E_next = []
+        for j in range(10):
+            d = d_acc[j] + d_grv[j]
+            if j == 2:                  # CMX += CMVX * dt
+                d = d + Ev[4] * dt
+            elif j == 3:                # CMY += CMVY * dt
+                d = d + Ev[5] * dt
+            E_next.append(Ev[j] + d * live)
+        return tuple(E_next), d_acc, d_grv
+
+    def step(k, carry):
+        if live_cfg is None:
+            t, E = carry, e10
+        else:
+            t, E = carry
+        bodies1 = _kepler_bodies(E, t, dtype)
         dt_cfl = edges_and_cfl(u_out_ref, bodies1, want_cfl=True)
         if fixed_dt is not None:
             dt = jnp.asarray(fixed_dt, dtype)
@@ -600,14 +783,25 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         if rk_order == 1:
             c1, i1 = stage_rest(u_out_ref, u_out_ref, dt, bodies1)
-            rows_ref[k] = pack_row(c1, dt, i1, t)
-            return t + dt
+            row = pack_row(c1, dt, i1, t)
+            if live_cfg is None:
+                rows_ref[k] = row
+                return t + dt
+            E1, da, dg = live_update(E, c1, bodies1, t, dt)
+            rows_ref[k] = row + pack_elems(da, ROW_DACC) \
+                + pack_elems(dg, ROW_DGRV) + pack_elems(E1, ROW_OE) \
+                + pack_elems(E, ROW_OE_STAGE)
+            return t + dt, E1
 
         # RK2 (subprog_binary.cpp:258-283): two stages at the same dt,
         # then the 1/2-1/2 average; per-STAGE rows so the wrapper can
         # replay the bookkeeping exactly
         c1, i1 = stage_rest(u_out_ref, s1_scr, dt, bodies1)
-        bodies2 = _kepler_bodies(e10, t + dt, dtype)
+        if live_cfg is None:
+            E1 = E
+        else:
+            E1, da1, dg1 = live_update(E, c1, bodies1, t, dt)
+        bodies2 = _kepler_bodies(E1, t + dt, dtype)
         edges_and_cfl(s1_scr, bodies2, want_cfl=False)
         c2, i2 = stage_rest(s1_scr, s1_scr, dt, bodies2)
 
@@ -619,22 +813,45 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 
         jax.lax.fori_loop(0, nchunks, avg_pass, 0)
         t2 = t + dt
-        rows_ref[2 * k] = pack_row(c1, dt, i1, t)
-        rows_ref[2 * k + 1] = pack_row(c2, dt, i2, t2)
+        row1 = pack_row(c1, dt, i1, t)
+        row2 = pack_row(c2, dt, i2, t2)
         # time advances through the SAME 1/2-1/2 average as the state in
         # the per-step path (jax.tree.map(avg, s, s2) averages s["time"]
         # = t with s2["time"] = t + 2dt) — bitwise, so chunked and
         # per-step trajectories see identical Kepler phases
-        return 0.5 * t + 0.5 * (t2 + dt)
+        t_next = 0.5 * t + 0.5 * (t2 + dt)
+        if live_cfg is None:
+            rows_ref[2 * k] = row1
+            rows_ref[2 * k + 1] = row2
+            return t_next
+        # stage 2 evolves from E1 at t + dt; the carried elements average
+        # 1/2-1/2 exactly like the state (tree.map avg of s["oe"] = E
+        # with s2["oe"] = E2)
+        E2, da2, dg2 = live_update(E1, c2, bodies2, t2, dt)
+        E_avg = tuple(0.5 * a + 0.5 * b for a, b in zip(
+            (jnp.full((1, 128), e, dtype)
+             if getattr(e, "ndim", 0) != 2 else e for e in E), E2))
+        rows_ref[2 * k] = row1 + pack_elems(da1, ROW_DACC) \
+            + pack_elems(dg1, ROW_DGRV) + pack_elems(E, ROW_OE_STAGE)
+        rows_ref[2 * k + 1] = row2 + pack_elems(da2, ROW_DACC) \
+            + pack_elems(dg2, ROW_DGRV) + pack_elems(E_avg, ROW_OE) \
+            + pack_elems(E1, ROW_OE_STAGE)
+        return t_next, E_avg
 
-    t_final = jax.lax.fori_loop(0, k_steps, step, t0_ref[0])
-    del t_final
+    if live_cfg is None:
+        carry0 = t0_ref[0]
+    else:
+        carry0 = (t0_ref[0],
+                  tuple(jnp.full((1, 128), e10_ref[j], dtype)
+                        for j in range(10)))
+    final = jax.lax.fori_loop(0, k_steps, step, carry0)
+    del final
 
 
 def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
                      K2, B, Bp, bs, cfl, theta, cfg_tuple, cfg_flux,
                      buffer_cfg, fixed_dt=None, rk_order=1,
-                     interpret=False):
+                     live_cfg=None, interpret=False):
     """k_steps complete flagship steps in one launch.
 
     uT [Bp, C, bs, bs] (pad rows benign), e10 the packed orbital
@@ -651,7 +868,7 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
         _kernel_multi, k_steps=k_steps, K2=K2, nchunks=nchunks, B=B,
         Bp=Bp, C=C, bs=bs, cfl=cfl, theta=theta, cfg_tuple=cfg_tuple,
         cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed_dt,
-        rk_order=rk_order)
+        rk_order=rk_order, live_cfg=live_cfg)
 
     scratch = [
         pltpu.VMEM((Bp, C, 6, bs), dtype),       # e6x

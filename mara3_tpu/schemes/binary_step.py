@@ -354,7 +354,7 @@ def _wrap_trailing(trailing_adv, uT, bodies, dt, theta):
     return jnp.transpose(u1, (0, 3, 1, 2)), totals, invalid
 
 
-def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
+def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False):
     """Fast scan with K steps per Pallas LAUNCH (kernels/binary_multi.py):
     CFL + Kepler + guard exchange + advance + flux correction all run
     in-kernel; the orbital-element bookkeeping (the ~60-op scalar chain
@@ -363,12 +363,15 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     (state, rows [n, INFO_WIDTH]) contract as make_fast_scan; n must be a
     multiple of k_chunk.
 
-    Scope: both conservation formulations, rk 1/2, plm/pcm, hlle/hllc,
-    binary not live inside any launch window (the caller must ensure
-    time + n*dt < begin_live_binary; default begin_live_binary = 1e6,
-    subprog_binary.cpp:92). Fault handling is chunk-level like
-    make_fast_scan: per-step invalid flags ride the rows and the driver
-    repairs by rewind (subprograms/binary._main_fast)."""
+    Scope: both conservation formulations, rk 1/2, plm/pcm, hlle/hllc.
+    live=True compiles the in-kernel orbital-element evolution
+    (subprog_binary_scheme.cpp:882-902: element inversion + periodic
+    diffs per stage, carried across the launch window) — the elements
+    the hydro sees match the per-step path's; live=False keeps them
+    launch constants (valid while time stays below begin_live_binary).
+    Fault handling is chunk-level like make_fast_scan: per-step invalid
+    flags ride the rows and the driver repairs by rewind
+    (subprograms/binary._main_fast)."""
     from functools import partial
 
     import numpy as np
@@ -425,6 +428,8 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     buffer_cfg = (cfg.buffer_damping_rate, cfg.domain_radius)
     theta = sd.plm_theta if cfg.reconstruct_method == "plm" else 0.0
     fixed = sd.recommended_time_step if sd.fixed_dt else None
+    live_cfg = (float(sd.begin_live_binary),
+                bool(sd.no_accretion_force)) if live else None
     interpret = jax.default_backend() != "tpu"
 
     # VMEM eligibility: the kernel keeps the whole mesh resident, so its
@@ -453,7 +458,7 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
             k_steps=k_chunk, K2=K2, B=B, Bp=Bp, bs=bs,
             cfl=sd.cfl_number, theta=theta, cfg_tuple=cfg_tuple,
             cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed,
-            rk_order=rk, interpret=interpret)
+            rk_order=rk, live_cfg=live_cfg, interpret=interpret)
         # rows are per STAGE: k_chunk * rk of them
         rows_raw = rows_raw.astype(s["time"].dtype)
         dts_st = rows_raw[:, BM.ROW_DT, 0]
@@ -485,43 +490,53 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
             "angular_momentum_ejected": rows_raw[:, 8, 0],
         }
 
-        # bookkeeping vmapped over all stages of the chunk (binary_step.
-        # stage, with live == 0 so the elements the hydro saw are exactly
-        # s["oe"]); for rk2 the 1/2-1/2 state average makes each stage's
-        # bookkeeping increment count with weight 1/2
-        E0 = s["oe"]
-        bodies_k = jax.vmap(
-            lambda t: tbj.compute_two_body_state(E0, t))(t_st)
-        m = bodies_k[:, :, 0]
-        vx = bodies_k[:, :, 3]
-        vy = bodies_k[:, :, 4]
-        dM = tk["mass_accreted_on"]
-        dpx = tk["momentum_x_accreted_on"]
-        dpy = tk["momentum_y_accreted_on"]
-        if sd.no_accretion_force:
-            avx, avy = vx, vy
-        else:
-            avx = (m * vx + dpx) / (m + dM)
-            avy = (m * vy + dpy) / (m + dM)
-        acc_bodies = jnp.stack(
-            [m + dM, bodies_k[:, :, 1], bodies_k[:, :, 2], avx, avy],
-            axis=2)
-        grv_bodies = jnp.stack(
-            [m, bodies_k[:, :, 1], bodies_k[:, :, 2],
-             vx + tk["integrated_force_x_on"] / m,
-             vy + tk["integrated_force_y_on"] / m], axis=2)
-        both = jnp.stack([acc_bodies, grv_bodies])        # [2, k, 2, 5]
-        e_both = jax.vmap(jax.vmap(tbj.compute_orbital_elements,
-                                   in_axes=(0, 0)),
-                          in_axes=(0, None))(both, t_st)
-        d_both = jax.vmap(jax.vmap(tbj.diff, in_axes=(None, 0)),
-                          in_axes=(None, 0))(E0, e_both)
-        # stage weight: the rk2 1/2-1/2 state average halves every
-        # per-stage bookkeeping increment (avg(s, stage(stage(s))) =
+        # bookkeeping: stage weight w — the rk2 1/2-1/2 state average
+        # halves every per-stage increment (avg(s, stage(stage(s))) =
         # s + (D1 + D2) / 2)
+        E0 = s["oe"]
         w = 1.0 / rk
-        d_acc = w * jnp.sum(d_both[0], axis=0)
-        d_grv = w * jnp.sum(d_both[1], axis=0)
+        if live:
+            # the kernel evolved the elements per stage and emitted the
+            # whole chain: stage-start E (what the hydro and work terms
+            # saw), per-stage d_acc/d_grv, and the carried post-step E
+            E_st = rows_raw[:, BM.ROW_OE_STAGE, :10]      # [k*rk, 10]
+            bodies_k = jax.vmap(tbj.compute_two_body_state)(E_st, t_st)
+            d_acc = w * jnp.sum(rows_raw[:, BM.ROW_DACC, :10], axis=0)
+            d_grv = w * jnp.sum(rows_raw[:, BM.ROW_DGRV, :10], axis=0)
+            oe_out = rows_raw[rk * k_chunk - 1, BM.ROW_OE, :10]
+        else:
+            # elements are launch constants (binary_step.stage with
+            # live == 0: the hydro saw exactly s["oe"]); the inversion
+            # chain vmaps over the chunk's stages
+            bodies_k = jax.vmap(
+                lambda t: tbj.compute_two_body_state(E0, t))(t_st)
+            m = bodies_k[:, :, 0]
+            vx = bodies_k[:, :, 3]
+            vy = bodies_k[:, :, 4]
+            dM = tk["mass_accreted_on"]
+            dpx = tk["momentum_x_accreted_on"]
+            dpy = tk["momentum_y_accreted_on"]
+            if sd.no_accretion_force:
+                avx, avy = vx, vy
+            else:
+                avx = (m * vx + dpx) / (m + dM)
+                avy = (m * vy + dpy) / (m + dM)
+            acc_bodies = jnp.stack(
+                [m + dM, bodies_k[:, :, 1], bodies_k[:, :, 2], avx, avy],
+                axis=2)
+            grv_bodies = jnp.stack(
+                [m, bodies_k[:, :, 1], bodies_k[:, :, 2],
+                 vx + tk["integrated_force_x_on"] / m,
+                 vy + tk["integrated_force_y_on"] / m], axis=2)
+            both = jnp.stack([acc_bodies, grv_bodies])    # [2, k, 2, 5]
+            e_both = jax.vmap(jax.vmap(tbj.compute_orbital_elements,
+                                       in_axes=(0, 0)),
+                              in_axes=(0, None))(both, t_st)
+            d_both = jax.vmap(jax.vmap(tbj.diff, in_axes=(None, 0)),
+                              in_axes=(None, 0))(E0, e_both)
+            d_acc = w * jnp.sum(d_both[0], axis=0)
+            d_grv = w * jnp.sum(d_both[1], axis=0)
+            oe_out = E0
         work_k = jax.vmap(_work_done)(tk, bodies_k)       # [k*rk, 2]
 
         s1 = {
@@ -543,7 +558,7 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
                 + w * jnp.sum(tk["angular_momentum_ejected"]),
             "oe_acc": s["oe_acc"] + d_acc,
             "oe_grav": s["oe_grav"] + d_grv,
-            "oe": E0,                       # not live in this path
+            "oe": oe_out,
         }
 
         ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -562,12 +577,12 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None):
     return scan_steps
 
 
-def make_hybrid_scan(sd, k_chunk: int = 16):
+def make_hybrid_scan(sd, k_chunk: int = 16, live=False):
     """make_fast_scan's contract for ANY n: n // k_chunk launches of the
     multi-step kernel plus a per-step scan for the remainder. Raises
     NotImplementedError when the solver is outside the multi kernel's
     scope (the caller falls back to make_fast_scan)."""
-    multi = make_multi_scan(sd, k_chunk=k_chunk)
+    multi = make_multi_scan(sd, k_chunk=k_chunk, live=live)
     fast = make_fast_scan(sd)
 
     def scan_steps(s, n: int):

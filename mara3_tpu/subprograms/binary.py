@@ -760,13 +760,14 @@ def _main_fast(cfg, sd: SolverData, state: State) -> int:
         """Returns (scan_steps, is_hybrid)."""
         if multi_k > 0:
             try:
-                # eligibility also needs "never live during this run":
-                # the multi kernel holds the elements constant per launch
-                if cfg.get_double("tfinal") * 2 * math.pi \
-                        >= sd_.begin_live_binary:
-                    raise NotImplementedError("live binary")
+                # runs that reach begin_live_binary compile the in-kernel
+                # orbital-element evolution (kernels/binary_multi.py
+                # live_cfg); short runs keep the cheaper constant-element
+                # kernel
+                live = cfg.get_double("tfinal") * 2 * math.pi \
+                    >= sd_.begin_live_binary
                 return binary_step.make_hybrid_scan(
-                    sd_, k_chunk=multi_k), True
+                    sd_, k_chunk=multi_k, live=live), True
             except NotImplementedError as e:
                 print(f"multi_launch: falling back to per-step scan ({e})")
         return binary_step.make_fast_scan(sd_), False

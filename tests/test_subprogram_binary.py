@@ -346,7 +346,7 @@ def test_driver_falls_back_when_multi_scan_oomns_at_runtime(tmp_path,
     recovers from faults; mesh changes are free)."""
     from mara3_tpu.schemes import binary_step
 
-    def fake_hybrid(sd, k_chunk=16):
+    def fake_hybrid(sd, k_chunk=16, live=False):
         def scan(s, n):
             raise RuntimeError(
                 "Ran out of memory in memory space vmem: Scoped "

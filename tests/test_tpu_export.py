@@ -77,15 +77,22 @@ def test_export_binary_multi_rk1_rk2():
                                (0, 3, 1, 2)),
                  [(0, Bp - Bn)] + [(0, 0)] * 3)
 
+    # live_cfg compiles the in-kernel orbital-element evolution (element
+    # inversion chain) — its atan2 must stay on Mosaic-lowerable ops
+    # (no atan2/atan lowering exists in the TPU backend; binary_multi.
+    # _atan2); lowering it offline here is the only pre-hardware check
     for rk in (1, 2):
-        def f(uT, e10, t0, _rk=rk):
-            return BM.advance_k_pallas(
-                uT, e10, t0, tables, jnp.asarray(geo), initT, bmask,
-                k_steps=2, K2=K2, B=Bn, Bp=Bp, bs=bs, cfl=sd.cfl_number,
-                theta=sd.plm_theta, cfg_tuple=cfg_tuple, cfg_flux=cfg_flux,
-                buffer_cfg=buffer_cfg, rk_order=_rk, interpret=False)
+        for live_cfg in (None, (0.0, False)):
+            def f(uT, e10, t0, _rk=rk, _lc=live_cfg):
+                return BM.advance_k_pallas(
+                    uT, e10, t0, tables, jnp.asarray(geo), initT, bmask,
+                    k_steps=2, K2=K2, B=Bn, Bp=Bp, bs=bs, cfl=sd.cfl_number,
+                    theta=sd.plm_theta, cfg_tuple=cfg_tuple,
+                    cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, rk_order=_rk,
+                    live_cfg=_lc, interpret=False)
 
-        export_tpu(f, uT, s0["oe"].astype(jnp.float32), jnp.float32(0.0))
+            export_tpu(f, uT, s0["oe"].astype(jnp.float32),
+                       jnp.float32(0.0))
 
 
 def test_export_iso2d_v4_and_v5():
