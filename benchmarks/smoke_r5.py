@@ -63,10 +63,67 @@ def smoke_binary_multi():
     uf = np.asarray(sf["conserved"], np.float64)
     scale = np.abs(uf).max(axis=(0, 2, 3), keepdims=True)
     rel = float((np.abs(um - uf) / scale).max())
+    rel_l2 = float(np.sqrt(((um - uf) / scale) ** 2).mean())
     dt_bit = bool((np.asarray(rm)[:, 2] == np.asarray(rf)[:, 2]).all())
-    ok = (np.isfinite(um).all() and rel < 1e-4 and dt_bit)
-    return check("binary_multi_hbm_u", ok, rel_linf=rel,
+    # bars calibrated to the r4 hardware anchors for this exact
+    # comparison (hybrid vs per-step, f32): logs_r4/bmnan4.log measured
+    # max rel 2.7-4.1e-4 at ONE step (d4b96) and soak phase A 1.19e-3
+    # linf / 9.3e-6 l2 at 960 steps — the 1e-4 linf bar the first
+    # queue11 smoke shipped with was tighter than the known-good
+    # baseline and flagged ordinary round-off (rel_linf 7.0e-4 at 16
+    # steps) as a failure
+    ok = (np.isfinite(um).all() and rel < 5e-3 and rel_l2 < 1e-4
+          and dt_bit)
+    return check("binary_multi_hbm_u", ok, rel_linf=rel, rel_l2=rel_l2,
                  dt_bitwise=dt_bit, wall_s=round(wall_m, 1))
+
+
+def smoke_binary_multi_live():
+    """Hardware VALUE check for the in-kernel live-binary element
+    evolution (kernels/binary_multi.py live_cfg, committed 7ca8b0f with
+    CPU parity + export lowering only): begin_live_binary=0 so every
+    step runs the inversion + periodic-diff chain on the TPU, compared
+    against the per-step scan. Same d4b96/16-step geometry and
+    round-off bars as smoke_binary_multi."""
+    from mara3_tpu.schemes import binary_step
+    from mara3_tpu.subprograms import binary as B
+    cfg = B.create_config_template().create().update(
+        {"depth": 4, "block_size": 96, "rk_order": 1,
+         "begin_live_binary": 0.0})
+    sd = B.create_solver_data(cfg)
+    sol = B.create_solution(cfg, sd)
+    s0 = binary_step.solution_to_arrays(
+        sol, jnp.asarray(sd.initial_conserved).dtype)
+    hybrid = binary_step.make_hybrid_scan(sd, k_chunk=16, live=True)
+    fast = binary_step.make_fast_scan(sd)
+    t0 = time.perf_counter()
+    sm, rm = hybrid(dict(s0), 16)
+    um = np.asarray(sm["conserved"], np.float64)
+    wall_m = time.perf_counter() - t0
+    sf, rf = fast(dict(s0), 16)
+    uf = np.asarray(sf["conserved"], np.float64)
+    scale = np.abs(uf).max(axis=(0, 2, 3), keepdims=True)
+    rel = float((np.abs(um - uf) / scale).max())
+    rel_l2 = float(np.sqrt(((um - uf) / scale) ** 2).mean())
+    I = binary_step.INFO_INDEX
+    dt_rel = float(np.abs(np.asarray(rm)[:, I["dt"]]
+                          / np.asarray(rf)[:, I["dt"]] - 1.0).max())
+    # elements must have MOVED (live, not frozen) and track the per-step
+    # path on the physical components (a, e, q; gauge angles are
+    # ill-conditioned near circular orbits — tests/test_binary_multi.py)
+    oe_m = np.asarray(sm["oe"], np.float64)
+    oe_f = np.asarray(sf["oe"], np.float64)
+    oe0 = np.asarray(s0["oe"], np.float64)
+    moved = bool(np.abs(oe_m - oe0).max() > 0)
+    oe_rel = float(np.abs(oe_m[2:] - oe_f[2:]).max()
+                   / max(np.abs(oe_f[2:]).max(), 1e-30))
+    # corruption-vs-round-off bars (r4 lesson: too-tight bars flag
+    # ordinary f32 hardware round-off): real corruption is orders off
+    ok = (np.isfinite(um).all() and rel < 5e-3 and rel_l2 < 1e-4
+          and dt_rel < 1e-5 and moved and oe_rel < 1e-4)
+    return check("binary_multi_live", ok, rel_linf=rel, rel_l2=rel_l2,
+                 dt_rel=dt_rel, oe_rel=oe_rel, moved=moved,
+                 wall_s=round(wall_m, 1))
 
 
 def smoke_v5_stage_loop():
@@ -132,7 +189,8 @@ def smoke_cloud_dt():
 def main():
     print("backend:", jax.default_backend())
     oks = []
-    for fn in (smoke_binary_multi, smoke_v5_stage_loop, smoke_cloud_dt):
+    for fn in (smoke_binary_multi, smoke_binary_multi_live,
+               smoke_v5_stage_loop, smoke_cloud_dt):
         try:
             oks.append(fn())
         except Exception as e:                        # noqa: BLE001

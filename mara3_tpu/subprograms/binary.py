@@ -78,9 +78,14 @@ def create_config_template():
             # (kernels/binary_multi.py): 0 = off, k > 0 = the launch
             # chunk, -1 = auto (k=16 on a TPU backend, off elsewhere —
             # the fast_step=-1 pattern). Scope: rk 1/2, plm/pcm,
-            # hlle/hllc, both formulations, binary not live during the
-            # run; anything outside falls back to the per-step scan.
-            .item("multi_launch", 0)
+            # hlle/hllc, both formulations, live binary in-kernel;
+            # meshes past the VMEM eligibility guard fall back to the
+            # per-step scan. Default -1 since the r5 gate cleared: soak
+            # phase B (NaN is fault-explained physics, logs_r4/
+            # soak_bmulti2.log), phase C (regrid growth survives via
+            # guard + runtime-OOM fallback, logs_r5/soakC.log), and
+            # hybrid-vs-per-step parity at the r4 round-off anchors.
+            .item("multi_launch", -1)
             .item("reconstruct_method", "plm")
             # the reference pins hlle (subprog_binary_solver_data.cpp:109);
             # hllc (physics_iso2d.hpp:704-712) is selectable here
