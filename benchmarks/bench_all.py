@@ -109,18 +109,21 @@ def bench_sedov(repeat, newtonian=1, kernel=None):
                 path=sedov.LAST_PATH)
 
 
-def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0):
+def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0,
+                 live=False):
     from mara3_tpu.schemes import binary_step
     from mara3_tpu.subprograms import binary as B
+    extra = {"begin_live_binary": 0.0} if live else {}
     cfg = B.create_config_template().create().update(
-        {"depth": depth, "block_size": block_size, "rk_order": rk_order})
+        {"depth": depth, "block_size": block_size, "rk_order": rk_order,
+         **extra})
     sd = B.create_solver_data(cfg)
     sol = B.create_solution(cfg, sd)
     s0 = binary_step.solution_to_arrays(
         sol, jnp.asarray(sd.initial_conserved).dtype)
     nz = s0["conserved"].shape[0] * s0["conserved"].shape[2] * s0["conserved"].shape[3]
     name = (f"binary_d{depth}b{block_size}_rk{rk_order}"
-            + ("_multi" if multi else ""))
+            + ("_multi" if multi else "") + ("_live" if live else ""))
 
     if not multi:
         scan_steps = binary_step.make_fast_scan(sd)
@@ -141,7 +144,8 @@ def bench_binary(repeat, depth=6, block_size=96, rk_order=1, multi=0):
         if k > int(multi) or str(k) in errors:
             continue
         try:
-            scan_steps = binary_step.make_multi_scan(sd, k_chunk=k)
+            scan_steps = binary_step.make_multi_scan(sd, k_chunk=k,
+                                                     live=live)
 
             def f(n, _scan=scan_steps):
                 s, rows = _scan(s0, n)
@@ -301,6 +305,9 @@ BENCHES = dict(advect=bench_advect, sedov=bench_sedov,
                binary_multi=lambda repeat: bench_binary(repeat, multi=16),
                binary7_multi=lambda repeat: bench_binary(repeat, depth=7,
                                                          multi=16),
+               # live orbital-element evolution in-kernel (begin_live=0)
+               binary_live_multi=lambda repeat: bench_binary(
+                   repeat, multi=16, live=True),
                sedov_srhd=lambda repeat: bench_sedov(repeat, newtonian=0),
                sedov_jnp=lambda repeat: bench_sedov(repeat, kernel=False),
                cloud=bench_cloud, cloud_multi=bench_cloud_multi,
