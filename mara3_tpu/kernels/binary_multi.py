@@ -380,7 +380,7 @@ def _diff10(a10, b10):
 
 def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
                   mg_ref, tmat_ref, wc_ref, rmat_ref, fm_ref, bmask_ref,
-                  u_out_ref, rows_ref, *scratch,
+                  wmask_ref, u_out_ref, rows_ref, *scratch,
                   k_steps, K2, nchunks, B, Bp, C, bs, cfl, theta,
                   cfg_tuple, cfg_flux, buffer_cfg, fixed_dt, rk_order,
                   live_cfg=None):
@@ -612,10 +612,13 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             Gey = jnp.concatenate([y_as(gg_scr[2, pl.ds(c * K2, K2)]), G,
                                    y_as(gg_scr[3, pl.ds(c * K2, K2)])],
                                   axis=3)
-            bm_c = bmask_ref[pl.ds(c * K2, K2)][..., None]
+            # totals weight: wmask, not bmask — a block-sharded caller
+            # advances halo blocks (bmask=1) whose contributions belong
+            # to the owning shard (wmask=0); single-device wmask == bmask
+            wm_c = wmask_ref[pl.ds(c * K2, K2)][..., None]
             u1c, fxlo_c, fxhi_c, fylo_c, fyhi_c, con = _main_update_vals(
                 pex, pey, Gex, Gey, uc, pc, dt, bv, geo_chunk(c),
-                init_ref[pl.ds(c * K2, K2)], sp_c, bm_c,
+                init_ref[pl.ds(c * K2, K2)], sp_c, wm_c,
                 cfg_tuple, cfg_flux, buffer_cfg)
             # write the pre-flux-correction state straight into dst: passB
             # reads only chunk-local src rows (every cross-chunk value
@@ -686,8 +689,11 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
             ).astype(dtype)
             uc = jnp.where(bm_c > 0.5, uc, benign)
             dst_ref[pl.ds(c * K2, K2)] = uc
+            # fault flag over wmask: halo blocks of a sharded caller sit
+            # inside the erosion zone where garbage is expected
+            wm_c = wmask_ref[pl.ds(c * K2, K2)][..., None]
             bad = jnp.logical_or(uc[:, 0] < 0.0, jnp.isnan(uc[:, 0]))
-            bad = jnp.logical_and(bad, bm_c[:, 0] > 0.5)
+            bad = jnp.logical_and(bad, wm_c[:, 0] > 0.5)
             return jnp.logical_or(inv, jnp.any(bad))
 
         invalid = jax.lax.fori_loop(0, nchunks, passC,
@@ -851,7 +857,7 @@ def _kernel_multi(e10_ref, t0_ref, u_ref, geo_ref, init_ref, wg_ref,
 def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
                      K2, B, Bp, bs, cfl, theta, cfg_tuple, cfg_flux,
                      buffer_cfg, fixed_dt=None, rk_order=1,
-                     live_cfg=None, interpret=False):
+                     live_cfg=None, interpret=False, wmask=None):
     """k_steps complete flagship steps in one launch.
 
     uT [Bp, C, bs, bs] (pad rows benign), e10 the packed orbital
@@ -863,6 +869,9 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
     dtype = uT.dtype
     nchunks = Bp // K2
     Wg, Mg, Tm, Wc, Rm, Fm = tables
+    if wmask is None:
+        # single-device: every advancing block's totals/faults count
+        wmask = bmask
 
     kernel = functools.partial(
         _kernel_multi, k_steps=k_steps, K2=K2, nchunks=nchunks, B=B,
@@ -887,7 +896,7 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
     anys = pl.BlockSpec(memory_space=pl.ANY)
     u_out, rows = pl.pallas_call(
         kernel,
-        in_specs=[smem, smem, anys] + [vmem] * 9,
+        in_specs=[smem, smem, anys] + [vmem] * 10,
         out_specs=(vmem, vmem),
         out_shape=(jax.ShapeDtypeStruct((Bp, C, bs, bs), dtype),
                    jax.ShapeDtypeStruct((k_steps * rk_order, 16, 128),
@@ -898,5 +907,5 @@ def advance_k_pallas(uT, e10, t0, tables, geo, init, bmask, *, k_steps,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(e10, dtype), jnp.asarray(t0, dtype).reshape(1),
-      uT, geo, init, Wg, Mg, Tm, Wc, Rm, Fm, bmask)
+      uT, geo, init, Wg, Mg, Tm, Wc, Rm, Fm, bmask, wmask)
     return u_out, rows

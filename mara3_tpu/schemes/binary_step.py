@@ -354,7 +354,8 @@ def _wrap_trailing(trailing_adv, uT, bodies, dt, theta):
     return jnp.transpose(u1, (0, 3, 1, 2)), totals, invalid
 
 
-def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False):
+def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False,
+                    advance_impl=None):
     """Fast scan with K steps per Pallas LAUNCH (kernels/binary_multi.py):
     CFL + Kepler + guard exchange + advance + flux correction all run
     in-kernel; the orbital-element bookkeeping (the ~60-op scalar chain
@@ -371,7 +372,14 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False):
     launch constants (valid while time stays below begin_live_binary).
     Fault handling is chunk-level like make_fast_scan: per-step invalid
     flags ride the rows and the driver repairs by rewind
-    (subprograms/binary._main_fast)."""
+    (subprograms/binary._main_fast).
+
+    advance_impl, when given, replaces the single-device kernel launch:
+    ``advance_impl(uT [Bp,...], e10, t0) -> (u_out [>=B,...], rows_raw
+    [k*rk, 16, 128])`` with the same row contract as
+    binary_multi.advance_k_pallas. Used by the block-sharded multi-chip
+    window (parallel/binary_multi_sharded.py); the caller owns its own
+    VMEM eligibility, so the guard below is skipped."""
     from functools import partial
 
     import numpy as np
@@ -439,7 +447,7 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False):
     # soak_bmulti.log). Raise NotImplementedError so the caller's
     # existing fallback (subprograms/binary.build_scan) selects the
     # per-step scan instead of crashing at first execution.
-    if not interpret:
+    if not interpret and advance_impl is None:
         est = BM.estimate_scoped_vmem_mb(Bp, bs, C=3, rk_order=rk, K2=K2)
         if est > BM.VMEM_GUARD_MB:
             raise NotImplementedError(
@@ -453,12 +461,15 @@ def make_multi_scan(sd, k_chunk: int = 16, K2: int = None, live=False):
         uT = s["conserved"]
         if pad:
             uT = jnp.concatenate([uT, benign])
-        u_out, rows_raw = BM.advance_k_pallas(
-            uT, s["oe"], s["time"], tables, geo, initT, bmask,
-            k_steps=k_chunk, K2=K2, B=B, Bp=Bp, bs=bs,
-            cfl=sd.cfl_number, theta=theta, cfg_tuple=cfg_tuple,
-            cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed,
-            rk_order=rk, live_cfg=live_cfg, interpret=interpret)
+        if advance_impl is not None:
+            u_out, rows_raw = advance_impl(uT, s["oe"], s["time"])
+        else:
+            u_out, rows_raw = BM.advance_k_pallas(
+                uT, s["oe"], s["time"], tables, geo, initT, bmask,
+                k_steps=k_chunk, K2=K2, B=B, Bp=Bp, bs=bs,
+                cfl=sd.cfl_number, theta=theta, cfg_tuple=cfg_tuple,
+                cfg_flux=cfg_flux, buffer_cfg=buffer_cfg, fixed_dt=fixed,
+                rk_order=rk, live_cfg=live_cfg, interpret=interpret)
         # rows are per STAGE: k_chunk * rk of them
         rows_raw = rows_raw.astype(s["time"].dtype)
         dts_st = rows_raw[:, BM.ROW_DT, 0]
