@@ -117,10 +117,19 @@ def smoke_binary_multi_live():
     moved = bool(np.abs(oe_m - oe0).max() > 0)
     oe_rel = float(np.abs(oe_m[2:] - oe_f[2:]).max()
                    / max(np.abs(oe_f[2:]).max(), 1e-30))
-    # corruption-vs-round-off bars (r4 lesson: too-tight bars flag
-    # ordinary f32 hardware round-off): real corruption is orders off
-    ok = (np.isfinite(um).all() and rel < 5e-3 and rel_l2 < 1e-4
-          and dt_rel < 1e-5 and moved and oe_rel < 1e-4)
+    # corruption-detection bars, calibrated to the f32 CONDITIONING
+    # FLOOR of the live element chain (PRECISION.md): for near-circular
+    # orbits ecc = sqrt(1 - b^2/a^2) amplifies f32 round-off to
+    # ~sqrt(eps) ~ 3.5e-4 eccentricity noise in BOTH paths (the same
+    # formula in f64 — reference and CPU x64 tests — sits at ~1e-8), and
+    # the micro-eccentricity feeds positions -> wavespeeds -> dt at the
+    # same scale. Measured anchors for THIS comparison: CPU f32
+    # (d3b16/16 steps) linf 6.8e-3, l2 5.6e-6, dt_rel 2.4e-3, oe_rel
+    # 1.0e-3; first hardware capture (d4b96) 9.0e-3 / 8.6e-7 / 4.3e-3 /
+    # 1.1e-3. Corruption (the r4 aliasing class) is NaN or orders-of-
+    # magnitude past these.
+    ok = (np.isfinite(um).all() and rel < 5e-2 and rel_l2 < 1e-5
+          and dt_rel < 5e-2 and moved and oe_rel < 1e-2)
     return check("binary_multi_live", ok, rel_linf=rel, rel_l2=rel_l2,
                  dt_rel=dt_rel, oe_rel=oe_rel, moved=moved,
                  wall_s=round(wall_m, 1))
