@@ -83,14 +83,17 @@ ROW_OE_STAGE = 15  # stage-START elements (the E the stage's hydro saw)
 # scratches account for ~60% of that; the rest is compiler-allocated
 # temporaries that also scale with the mesh. The u input now stays in HBM
 # (pl.ANY + one DMA, round 5), removing exactly one window/block from the
-# anchor: rk1 factor 5.95 - 1.0. rk2 adds the s1_scr window plus ~0.5 for
-# its temporaries (no hardware anchor yet — conservative until the queue
-# probe lands). The driver's runtime catch (subprograms/binary._main_fast)
-# backstops model error in both directions.
+# anchor: rk1 factor 5.95 - 1.0. rk2 adds the s1_scr window plus its
+# temporaries; the queue11 hardware probe (logs_r5/rk2probe.log) anchors
+# it: rk2 at Bp=136, bs=96, K2=4 COMPILES AND RUNS (scoped usage <= the
+# 120 MB limit), so the factor is capped at 6.0 — est(136) = 114.8 MB
+# clears the guard exactly as hardware does, est(138+) is rejected. The
+# driver's runtime catch (subprograms/binary._main_fast) backstops model
+# error in both directions.
 VMEM_SCOPED_LIMIT_MB = 120.0
 VMEM_GUARD_MB = 116.0
 _DARK_FACTOR_RK1 = 4.95      # scoped MB per (block-state window) at rk1
-_DARK_FACTOR_RK2 = 6.45      # + s1_scr window and its temporaries
+_DARK_FACTOR_RK2 = 6.0       # + s1_scr window; hardware-anchored (above)
 
 
 def _lane_pad(n: int) -> int:
