@@ -1,5 +1,10 @@
 """Fused iso2d step, v2: auto-pipelined tiles + thin halo-strip inputs.
 
+MEASUREMENT LADDER ONLY (r4 verdict housekeeping): superseded by
+v4/v5 on every product path; kept as the documented optimization
+ladder for benchmarks/bench_kernel_sweep.py and its tests. Do not
+wire into subprograms.
+
 v1 (iso2d_step.py) builds a full padded copy of the state each step and
 manually DMAs aligned over-fetch windows. v2 removes both costs:
 

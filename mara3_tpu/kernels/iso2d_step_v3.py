@@ -1,5 +1,10 @@
 """Fused iso2d kernel, v3: auto-pipelined tiles + temporal blocking.
 
+MEASUREMENT LADDER ONLY (r4 verdict housekeeping): superseded by
+v4/v5 on every product path; kept as the documented optimization
+ladder for benchmarks/bench_kernel_sweep.py and its tests. Do not
+wire into subprograms.
+
 Combines v2's pipelined halo-strip design with G steps per kernel launch:
 strips widen to 2G cells, the kernel assembles a (TX+4G, TY+4G) window and
 chains the verified single-step tile update G times with statically

@@ -93,10 +93,17 @@ class Request:
         if self._thread is not None:
             self._thread.join()
 
-    def get(self) -> bytes:
-        """Block until complete and return the payload (b'' for sends)."""
+    def get(self, deserialize=None):
+        """Block until complete and return the payload (b'' for sends).
+
+        ``deserialize`` is the typed-payload hook — the analog of
+        ``mpi::Request::get<T>`` (core_mpi.hpp:234-268) returning a
+        value instead of bytes. Any callable taking the raw bytes
+        works; e.g. ``req.get(pickle.loads)``, ``req.get(json.loads)``,
+        or ``lambda b: np.frombuffer(b, dtype)``."""
         self.wait()
-        return self._result[0] if self._result else b""
+        raw = self._result[0] if self._result else b""
+        return deserialize(raw) if deserialize is not None else raw
 
     def cancel(self):
         """Cancel-and-null the request (mpi::Request cancel-on-drop,

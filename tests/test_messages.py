@@ -71,6 +71,26 @@ def test_irecv_isend_requests(pair):
     assert r2.get() == b"payload"
 
 
+def test_typed_get_deserializer_hook(pair):
+    """Request.get(deserialize) = mpi::Request::get<T>
+    (core_mpi.hpp:234-268): typed values out of the completion handle."""
+    import json
+    import pickle
+
+    import numpy as np
+    a, b = pair
+    a.isend(json.dumps({"n": 3}).encode(), dest=1, tag=1).wait()
+    a.isend(pickle.dumps((1, "two")), dest=1, tag=2).wait()
+    a.isend(np.arange(4, dtype=np.int64).tobytes(), dest=1, tag=3).wait()
+    b.probe(tag=1, timeout=10)
+    assert b.irecv(tag=1).get(lambda r: json.loads(r)) == {"n": 3}
+    b.probe(tag=2, timeout=10)
+    assert b.irecv(tag=2).get(pickle.loads) == (1, "two")
+    b.probe(tag=3, timeout=10)
+    got = b.irecv(tag=3).get(lambda r: np.frombuffer(r, np.int64))
+    assert (got == np.arange(4)).all()
+
+
 def test_strings_round_trip_and_fifo(pair):
     a, b = pair
     for i in range(5):
