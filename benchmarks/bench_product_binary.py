@@ -62,6 +62,14 @@ def main():
     fell_back = "falling back to per-step scan" in proc.stdout
     half = kzps[len(kzps) // 2:]
     sustained = float(np.median(half)) * 1e3 if half else float("nan")
+    # print the rate summary BEFORE anything that could still fail, so an
+    # unattended capture never loses the measurement again (r5 product job
+    # lost its median to a json TypeError after a 45-min run)
+    if half:
+        q = np.percentile(half, [10, 50, 90]) * 1e3
+        print(f"KZPS_SUMMARY n={len(kzps)} half_n={len(half)} "
+              f"p10={q[0]:.4g} median={q[1]:.4g} p90={q[2]:.4g} zones/s",
+              flush=True)
 
     # finite-state check on the final checkpoint (never trust a rate
     # without one — r4 finding)
@@ -80,8 +88,8 @@ def main():
                steps=STEPS, rc=proc.returncode, wall_s=round(wall, 1),
                sustained_zps=sustained, fell_back=fell_back,
                finite=finite,
-               ok=(proc.returncode == 0 and finite and not fell_back
-                   and np.isfinite(sustained)))
+               ok=bool(proc.returncode == 0 and finite and not fell_back
+                       and np.isfinite(sustained)))
     print("PRODUCT_RESULT " + json.dumps(res), flush=True)
     return 0 if res["ok"] else 1
 
