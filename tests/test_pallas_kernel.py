@@ -377,7 +377,7 @@ def test_v4_bfloat16_runs_and_tracks_f32():
     drift data per PRECISION.md)."""
     import mara3_tpu.kernels.iso2d_step_v4 as K4
 
-    nx, ny = 128, 128
+    nx, ny = 64, 128
     u32 = jnp.moveaxis(random_state(nx, ny).astype(jnp.float32), -1, 0)
     u16 = u32.astype(jnp.bfloat16)
     kw = dict(G=4, cs2=0.1, dtdx=1e-4 * nx / 2, dtdy=1e-4 * nx / 2,

@@ -95,9 +95,16 @@ def test_iso2d_f32_evolution_drift_bound():
     vy = -0.1 * jnp.sin(2 * jnp.pi * x) * jnp.ones_like(sigma)
     u64 = iso2d.to_conserved_per_area(jnp.stack([sigma, vx, vy], axis=-1))
     u32 = u64.astype(jnp.float32)
-    for _ in range(steps):
-        u64 = iso2d_grid.step_periodic_uniform(u64, cs2, dx, dx, dt, 1.8)
-        u32 = iso2d_grid.step_periodic_uniform(u32, cs2, dx, dx, dt, 1.8)
+
+    @jax.jit
+    def run(u):
+        return jax.lax.fori_loop(
+            0, steps,
+            lambda i, u: iso2d_grid.step_periodic_uniform(u, cs2, dx, dx,
+                                                          dt, 1.8), u)
+
+    u64 = run(u64)
+    u32 = run(u32)
     drift = np.max(np.abs(np.asarray(u32, np.float64) - np.asarray(u64))
                    / (np.abs(np.asarray(u64)) + 1e-3))
     assert drift < steps * 32 * EPS32

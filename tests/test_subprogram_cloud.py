@@ -160,7 +160,7 @@ def test_pallas_flux_update_matches_jnp():
     from mara3_tpu.subprograms import cloud
 
     cfg = cloud.config_template().create().update(
-        {"nr": 128, "num_decades": 1.0})
+        {"nr": 128, "num_decades": 0.5})
     state = cloud.new_solution(cfg)
     u0 = jnp.asarray(state.conserved, jnp.float32)
     rv = jnp.asarray(state.radial_vertices, jnp.float32)
@@ -202,7 +202,12 @@ def test_pallas_flux_update_matches_jnp():
 @pytest.mark.heavy
 def test_fused_stage_matches_jnp_stage():
     """kernels/cloud_update.fused_stage (in-kernel recovery + fluxes +
-    update, interpret mode) vs the jnp SoA stage, warm and cold starts."""
+    update, interpret mode) vs the jnp SoA stage, warm and cold starts.
+
+    This test (and the evolved-warm one below) stays at nr=128 — the
+    full-lane-width sentinel; the composite-launch tests (rk2 step, n-step
+    runs) cover the same kernel bodies at nr=64 to keep the interpret-mode
+    suite cost bounded."""
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental.pallas import tpu as pltpu
@@ -299,7 +304,7 @@ def test_fused_rk2_step_matches_two_stages():
     from mara3_tpu.subprograms import cloud
 
     cfg = cloud.config_template().create().update(
-        {"nr": 128, "num_decades": 1.0})
+        {"nr": 128, "num_decades": 0.5})
     state = cloud.new_solution(cfg)
     rv = jnp.asarray(state.radial_vertices, jnp.float32)
     qv = jnp.asarray(state.polar_vertices, jnp.float32)
@@ -323,13 +328,13 @@ def test_fused_rk2_step_matches_two_stages():
     invr = jnp.broadcast_to((1.0 / rc)[:, None], (nr, nq))
     cotq = jnp.broadcast_to(jnp.tan(jnp.pi / 2 - qc)[None, :], (nr, nq))
 
+    import jax
+    stage = jax.jit(lambda i1, u, p: CU.fused_stage(
+        i1, u, p, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+        dt, 1.5, 2, 1e-6, TX=16, interpret=True))
     with pltpu.force_tpu_interpret_mode():
-        u1a, p1a = CU.fused_stage(inf1, us, pg, dv, invr, cotq, dAr,
-                                  dAq[:, :-1], dAq[:, 1:], dt, 1.5, 2,
-                                  1e-6, TX=16, interpret=True)
-        u2a, p2a = CU.fused_stage(inf2, u1a, p1a, dv, invr, cotq, dAr,
-                                  dAq[:, :-1], dAq[:, 1:], dt, 1.5, 2,
-                                  1e-6, TX=16, interpret=True)
+        u1a, p1a = stage(inf1, us, pg)
+        u2a, p2a = stage(inf2, u1a, p1a)
         got, pgot = CU.fused_step_rk2(inf1, inf2, us, pg, dv, invr, cotq,
                                       dAr, dAq[:, :-1], dAq[:, 1:], dt,
                                       1.5, 2, 1e-6, TX=16, interpret=True)
@@ -370,7 +375,7 @@ def test_fused_run_rk2_matches_chained_steps():
     from mara3_tpu.subprograms import cloud
 
     cfg = cloud.config_template().create().update(
-        {"nr": 128, "num_decades": 1.0})
+        {"nr": 128, "num_decades": 0.5})
     state = cloud.new_solution(cfg)
     rv = jnp.asarray(state.radial_vertices, jnp.float32)
     qv = jnp.asarray(state.polar_vertices, jnp.float32)
@@ -395,14 +400,18 @@ def test_fused_run_rk2_matches_chained_steps():
         r = cloud._inflow_row(qc, t, jet_static)
         return jnp.stack([r[0, :, k] for k in range(5)]).astype(jnp.float32)
 
-    # reference: n chained one-step launches (sequential time accum)
+    # reference: n chained one-step launches (sequential time accum).
+    # jit the step so the interpret-mode kernel traces ONCE — eager
+    # pallas interpret calls re-trace per call (~9 s each on this box)
+    # while execution is ~0.1 s.
+    import jax
+    step = jax.jit(lambda i1, i2, u, p: CU.fused_step_rk2(
+        i1, i2, u, p, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+        dt, 1.5, 2, 1e-8, TX=32, interpret=True))
     uc, pc2, t = us, pg, 0.0
     with pltpu.force_tpu_interpret_mode():
         for _ in range(n):
-            uc, pc2 = CU.fused_step_rk2(
-                row(t), row(t + dt), uc, pc2, dv, invr, cotq, dAr,
-                dAq[:, :-1], dAq[:, 1:], dt, 1.5, 2, 1e-8, TX=32,
-                interpret=True)
+            uc, pc2 = step(row(t), row(t + dt), uc, pc2)
             t = t + dt
 
     # one launch for all n steps
@@ -454,7 +463,7 @@ def test_fused_run_rk1_matches_chained_stages():
     from mara3_tpu.subprograms import cloud
 
     cfg = cloud.config_template().create().update(
-        {"nr": 128, "num_decades": 1.0})
+        {"nr": 128, "num_decades": 0.5})
     state = cloud.new_solution(cfg)
     rv = jnp.asarray(state.radial_vertices, jnp.float32)
     qv = jnp.asarray(state.polar_vertices, jnp.float32)
@@ -478,12 +487,15 @@ def test_fused_run_rk1_matches_chained_stages():
         return jnp.stack([r[0, :, k] for k in range(5)]).astype(jnp.float32)
 
     n = 4
+    # jit: trace the interpret kernel once, not once per chained call
+    import jax
+    stage = jax.jit(lambda i1, u, p: CU.fused_stage(
+        i1, u, p, dv, invr, cotq, dAr, dAq[:, :-1], dAq[:, 1:],
+        dt, 1.5, 2, 1e-8, TX=32, interpret=True))
     uc, pc2, t = us, pg, 0.0
     with pltpu.force_tpu_interpret_mode():
         for _ in range(n):
-            uc, pc2 = CU.fused_stage(
-                row(t), uc, pc2, dv, invr, cotq, dAr, dAq[:, :-1],
-                dAq[:, 1:], dt, 1.5, 2, 1e-8, TX=32, interpret=True)
+            uc, pc2 = stage(row(t), uc, pc2)
             t = t + dt
 
     u1, p1, _ = cloud.advance_n_rk2_soa(

@@ -1,6 +1,7 @@
 """WENO-5 reconstruction tests."""
 
 import pytest
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,10 +73,16 @@ def test_weno5_end_to_end_fifth_order_advection():
         dt = 0.4 * dx ** (5.0 / 3.0)
         steps = int(np.ceil(T / dt))
         dt = T / steps
-        for _ in range(steps):
-            u1 = u + dt * rhs(u, dx)
-            u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(u1, dx))
-            u = u / 3.0 + 2.0 / 3.0 * (u2 + dt * rhs(u2, dx))
+
+        @jax.jit
+        def run(u):
+            def body(i, u):
+                u1 = u + dt * rhs(u, dx)
+                u2 = 0.75 * u + 0.25 * (u1 + dt * rhs(u1, dx))
+                return u / 3.0 + 2.0 / 3.0 * (u2 + dt * rhs(u2, dx))
+            return jax.lax.fori_loop(0, steps, body, u)
+
+        u = run(u)
         exact = np.sin(2 * np.pi * (x - T))
         return float(jnp.mean(jnp.abs(u - exact)))
 
