@@ -20,7 +20,12 @@ import subprocess
 import sys
 import time
 
-STEPS = int(dict(a.split("=", 1) for a in sys.argv[1:]).get("steps", 4096))
+_ARGS = dict(a.split("=", 1) for a in sys.argv[1:])
+STEPS = int(_ARGS.get("steps", 4096))
+# extra CLI overrides, comma-separated k=v pairs (e.g.
+# extra=begin_live_binary=0 measures the scientifically-live mode);
+# they tag the PRODUCT_RESULT config name
+EXTRA = [kv for kv in _ARGS.get("extra", "").split(",") if kv]
 
 
 def main():
@@ -48,7 +53,7 @@ def main():
             "depth=6", "block_size=96", "rk_order=1",
             f"tfinal={tfinal:.8g}", f"cpi={tfinal:.8g}",
             f"dfi={tfinal:.8g}", f"tsi={tfinal:.8g}",
-            f"outdir={outdir}"]
+            f"outdir={outdir}"] + EXTRA
     print("argv:", " ".join(argv), flush=True)
     t0 = time.perf_counter()
     proc = subprocess.run(argv, capture_output=True, text=True)
@@ -84,7 +89,8 @@ def main():
             finite = all(np.isfinite(np.asarray(grp[k])).all()
                          for k in grp)
 
-    res = dict(config="binary_d6b96_rk1_default_product",
+    tag = "".join("+" + kv.split("=")[0] for kv in EXTRA)
+    res = dict(config="binary_d6b96_rk1_default_product" + tag,
                steps=STEPS, rc=proc.returncode, wall_s=round(wall, 1),
                sustained_zps=sustained, fell_back=fell_back,
                finite=finite,
