@@ -195,11 +195,47 @@ def smoke_cloud_dt():
                  wall_second=round(wall2, 1))
 
 
+def smoke_cloud_value():
+    """Fused cloud stage vs the jnp path ON HARDWARE (corruption bar:
+    CPU equivalence is rtol=5e-5; here we only need to catch
+    device-only wrongness like the r4 aliasing class)."""
+    from mara3_tpu.subprograms import cloud as C
+    cfg = C.config_template().create().update({"nr": 512})
+    sol = C.create_solution(cfg)
+    rv, qv = sol.radial_vertices, sol.polar_vertices
+    units = C.make_reference_units(cfg)
+    jet = C.make_jet_nozzle_model(cfg)
+    jet_static = (jet.Ej, jet.G0, jet.tj, jet.qj, jet.as_, jet.r0,
+                  units.mass_density, units.time)
+    us = jnp.moveaxis(jnp.asarray(sol.conserved), -1, 0)
+    pz = jnp.zeros(us.shape[1:], us.dtype)
+    dr = float(rv[1] - rv[0])
+    theta = cfg.get_double("plm_theta")
+    method = cfg.get_int("reconstruct_method")
+    tfl = cfg.get_double("temperature_floor")
+
+    def run(fused):
+        u, p, t = us, pz, 0.0
+        for _ in range(3):
+            u, p = C._advance_rk_carry_soa(u, p, t, rv, qv, jet_static,
+                                           dr * 0.4, theta, method, tfl,
+                                           2, fused=fused)
+            t += dr * 0.4
+        return np.asarray(u)
+
+    a = run(True)
+    b = run(False)
+    scale = np.max(np.abs(b), axis=(1, 2), keepdims=True)
+    rel = float(np.max(np.abs(a - b) / scale))
+    ok = np.isfinite(a).all() and rel < 5e-4
+    return check("cloud_fused_value", ok, rel_linf=rel)
+
+
 def main():
     print("backend:", jax.default_backend())
     oks = []
     for fn in (smoke_binary_multi, smoke_binary_multi_live,
-               smoke_v5_stage_loop, smoke_cloud_dt):
+               smoke_v5_stage_loop, smoke_cloud_dt, smoke_cloud_value):
         try:
             oks.append(fn())
         except Exception as e:                        # noqa: BLE001

@@ -69,8 +69,11 @@ def _hlle_t(Pl, Pr, axis):
     def side(P):
         rho, u1, u2, u3, p = P
         uu = u1 * u1 + u2 * u2 + u3 * u3
-        W = jnp.sqrt(1.0 + uu)
-        invW = _rcp(W)
+        # rsqrt-first: one multi-pass VPU op (rsqrt) + a mul replaces
+        # the sqrt + reciprocal pair (same values to ~1 ulp; the
+        # rtol=5e-5 equivalence tests cover it)
+        invW = jax.lax.rsqrt(1.0 + uu)
+        W = (1.0 + uu) * invW
         hd = rho + p * K                        # rho * specific enthalpy
         D = rho * W
         U = (D, W * u1 * hd, W * u2 * hd, W * u3 * hd,
@@ -297,8 +300,8 @@ def _recover_window(Uw, p0, done0, tfloor, p_ref, w_ref, done_ref,
         # agrees to f32 round-off, covered by the rtol=5e-5 equivalence).
         invdp = _rcp(tau + D + p)
         v2 = jnp.minimum(SS * invdp * invdp, 1.0 - 1e-10)
-        invW = jnp.sqrt(1.0 - v2)
-        W = _rcp(invW)
+        W = jax.lax.rsqrt(1.0 - v2)       # rsqrt replaces sqrt + rcp
+        invW = (1.0 - v2) * W
         W2 = W * W
         e = (tau + D * (1.0 - W) + p * (1.0 - W2)) * (invD * invW)
         d = D * invW
