@@ -225,17 +225,28 @@ def smoke_cloud_value():
 
     a = run(True)
     b = run(False)
-    scale = np.max(np.abs(b), axis=(1, 2), keepdims=True)
+    # floor the per-component scale by the global magnitude: identically-
+    # zero components (no phi momentum in the axisymmetric setup) must
+    # compare as 0 == 0, not 0/0
+    scale = np.maximum(np.max(np.abs(b), axis=(1, 2), keepdims=True),
+                       1e-12 * np.max(np.abs(b)))
     rel = float(np.max(np.abs(a - b) / scale))
-    ok = np.isfinite(a).all() and rel < 5e-4
-    return check("cloud_fused_value", ok, rel_linf=rel)
+    ok = bool(np.isfinite(a).all() and np.isfinite(b).all()
+              and rel < 5e-4)
+    return check("cloud_fused_value", ok, rel_linf=rel,
+                 finite_fused=bool(np.isfinite(a).all()),
+                 finite_jnp=bool(np.isfinite(b).all()))
 
 
 def main():
     print("backend:", jax.default_backend())
+    only = dict(a.split("=", 1) for a in _sys.argv[1:]).get("only", "")
+    fns = [fn for fn in (smoke_binary_multi, smoke_binary_multi_live,
+                         smoke_v5_stage_loop, smoke_cloud_dt,
+                         smoke_cloud_value)
+           if not only or only in fn.__name__]
     oks = []
-    for fn in (smoke_binary_multi, smoke_binary_multi_live,
-               smoke_v5_stage_loop, smoke_cloud_dt, smoke_cloud_value):
+    for fn in fns:
         try:
             oks.append(fn())
         except Exception as e:                        # noqa: BLE001
