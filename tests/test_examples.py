@@ -38,3 +38,14 @@ def test_advect_3d_octree_matches_global_grid():
     # single global periodic grid at round-off, and conserve mass
     err = _load("advect_3d").main(depth=1, bs=12, tfinal=0.2)
     assert err < 1e-10
+
+
+def test_tutorial_5_runs():
+    # tut5 asserts its own claims (round-trip exactness, extrinsic
+    # totals, zero mass drift); run it in-process like the examples
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, str(EXAMPLES.parent / "tutorial" / "tut5.py")],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tut5 OK" in out.stdout
