@@ -81,6 +81,28 @@ def test_mixed_mesh_conserves_mass_exactly():
     assert abs(m1 - m0) / abs(m0) < 1e-12   # coarse-fine flux correction
 
 
+def test_block_sharded_advance_matches_single_device():
+    # the octree advance is pure gathers over the block axis, so GSPMD
+    # block sharding distributes it unmodified (the 3D analog of the 2D
+    # block_sharded path); conftest provides 8 virtual devices
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = amr3d.BlockMesh3D.create(
+        lambda level, radius: level == 0 or radius < 1.0 / level, 3)
+    assert len(mesh.leaves) % 8 == 0          # 120 blocks, levels {2,3}
+    bs = 8
+    u = amr3d.sample_blocks(
+        mesh, bs, lambda X, Y, Z: 1.0 + jnp.exp(-(X**2 + Y**2 + Z**2)
+                                                / 0.1))
+    adv = amr3d.make_advance(mesh, bs, (1.0, 0.7, -0.4))
+    ref = np.asarray(adv(u, 0.005, 10))
+    dmesh = Mesh(np.array(jax.devices()), ("b",))
+    us = jax.device_put(u, NamedSharding(dmesh, P("b")))
+    out = adv(us, 0.005, 10)
+    assert out.sharding.spec == P("b")        # stays sharded end-to-end
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-13
+
+
 def test_mixed_mesh_first_order_convergence():
     mesh = amr3d.BlockMesh3D(_mixed_leaves())
     v = (0.8, 0.6, 0.0)
