@@ -12,7 +12,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import mara3_tpu  # noqa: F401  (platform/compile-cache setup)

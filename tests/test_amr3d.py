@@ -8,7 +8,6 @@ coarse-fine faces, and first-order convergence.
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mara3_tpu.mesh import amr3d, tree_nd
 

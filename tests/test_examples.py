@@ -9,7 +9,6 @@ so the demo surface can't rot.
 import pathlib
 import sys
 
-import pytest
 
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 

@@ -32,7 +32,6 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
 
 from mara3_tpu.mesh import amr3d, tree_nd  # noqa: E402
 
