@@ -74,10 +74,23 @@ def config_template():
             # TPU, 0 = per-step host loop, 1 = force)
             .item("fast_step", -1)
             # n COMPLETE steps per Pallas launch inside the fast loop
-            # (kernels/cloud_update.fused_run_rk2). Opt-in until
-            # hardware-validated.
-            .item("multi_launch", 0)
+            # (kernels/cloud_update.fused_run_rk2): -1 = auto (on for
+            # TPU backends — hardware-validated: equivalence tests pin
+            # fused_run bitwise-inflow chaining, queue16 cloud_fused_value
+            # on device, queue17 cloudmulti 1.563 ms/step; both fast-loop
+            # branches share the same fault semantics so no extra gates
+            # apply), 0 = per-step launches, 1 = force.
+            .item("multi_launch", -1)
             .item("temperature_floor", 1e-8))
+
+
+def resolve_multi_launch(cfg_value: int, backend: str) -> int:
+    """multi_launch config -> effective mode: -1 = auto (fused_run on
+    real TPU backends, per-step launches elsewhere), 0 = off, 1 = on
+    (the binary subprogram's resolve_multi_launch analog)."""
+    if cfg_value < 0:
+        return 1 if backend == "tpu" else 0
+    return cfg_value
 
 
 # -----------------------------------------------------------------------------
@@ -817,10 +830,11 @@ def _main_fast(cfg, state: AppState) -> int:
     it = int(sol.iteration)
     nzones = us.shape[1] * us.shape[2]
 
-    # multi_launch=1: n COMPLETE steps per Pallas LAUNCH
+    # multi_launch: n COMPLETE steps per Pallas LAUNCH
     # (kernels/cloud_update.fused_run_rk2) — even-n chunks only; odd
     # remainders fall back to the scan
-    multi = (cfg.get_int("multi_launch") != 0
+    multi = (resolve_multi_launch(cfg.get_int("multi_launch"),
+                                  jax.default_backend()) != 0
              and jax.default_backend() == "tpu"
              and us.shape[2] % 128 == 0 and rk in (1, 2))
 

@@ -505,3 +505,13 @@ def test_fused_run_rk1_matches_chained_stages():
                                rtol=2e-6, atol=1e-10)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(pc2),
                                rtol=2e-6, atol=1e-12)
+
+
+def test_resolve_multi_launch_by_backend():
+    """Both halves of cloud's multi_launch=-1 auto resolution (the
+    binary analog): fused_run on TPU backends, per-step elsewhere."""
+    from mara3_tpu.subprograms import cloud as C
+    assert C.resolve_multi_launch(-1, "tpu") == 1
+    assert C.resolve_multi_launch(-1, "cpu") == 0
+    assert C.resolve_multi_launch(0, "tpu") == 0
+    assert C.resolve_multi_launch(1, "cpu") == 1
