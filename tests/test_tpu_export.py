@@ -224,3 +224,19 @@ def test_export_iso2d_v4_sharded():
     u = iso2d_sharded.shard_state(jnp.ones((3, 128, 128), jnp.float32),
                                   mesh)
     export_tpu(lambda a: adv(a, 8), u)
+
+
+def test_export_sand3d_fused():
+    from mara3_tpu.kernels import sand3d_step
+    from mara3_tpu.mesh import amr3d
+    mesh = amr3d.BlockMesh3D.create(
+        lambda level, radius: level == 0 or radius < 1.0 / level, 3)
+    u0 = amr3d.sample_blocks(
+        mesh, 16, lambda X, Y, Z: jnp.exp(-(X**2 + Y**2 + Z**2) / 0.025),
+        dtype=jnp.float32)
+    dxb = jnp.asarray(2.0 / (1 << mesh.level) / 16, jnp.float32)
+    Bp = -(-u0.shape[0] // 128) * 128
+    ops = sand3d_step.build_guard_ops(mesh, 16, Bp, np.float32)
+    export_tpu(lambda a: sand3d_step.advance_n_pallas(
+        a, dxb, ops, np.asarray((0.5, 0.5, 0.5), np.float32),
+        np.float32(1e-3), 2), u0)

@@ -26,7 +26,14 @@ Runs anywhere (CPU f64 here; `python -m mara3_tpu sand3d` is the same
 machinery as a product workload).
 """
 
-import jax
+import pathlib
+import sys
+
+# runnable from any cwd: the repo root may not be on sys.path when this
+# file is exec'd directly (same shim as the distributed test workers)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
