@@ -49,6 +49,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 SAME, COARSE, FINE = 0, 1, 2
 
+VMEM_LIMIT_MB = 120.0
+
+
+def estimate_scoped_vmem_mb(bs: int, Bp: int, itemsize: int = 4) -> float:
+    """Whole-mesh VMEM residency estimate for the fused kernel: in+out
+    state windows, the one-hot operand set, and ~6 live [bs^3, Bp]
+    step temporaries (xm1/ym1/zm1/du plus rolls). The same
+    budget-before-build discipline as kernels/binary_multi.py — a mesh
+    past the scoped limit must fall back to the jnp path instead of
+    dying in the Mosaic allocator (the round-4 regrid OOM lesson)."""
+    state = bs ** 3 * Bp * itemsize
+    onehots = (3 * 6 * Bp * Bp + 8 * bs ** 4 + 3 * 6 * Bp) * itemsize
+    return (8 * state + onehots) / 2 ** 20
+
+
+def check_fits_vmem(bs: int, Bp: int) -> None:
+    est = estimate_scoped_vmem_mb(bs, Bp)
+    if est > VMEM_LIMIT_MB:
+        raise NotImplementedError(
+            f"sand3d fused kernel: estimated scoped VMEM {est:.1f} MB "
+            f"exceeds the {VMEM_LIMIT_MB:.0f} MB budget at Bp={Bp}")
+
 
 def build_guard_ops(mesh, bs: int, Bp: int, dtype=np.float32):
     """Host-built operators for the three lo-side guard exchanges.

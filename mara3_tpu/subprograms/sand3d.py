@@ -82,6 +82,14 @@ def make_advance_auto(mesh, bs, v, kernel=None):
     from mara3_tpu.kernels import sand3d_step
     B = mesh.case.shape[0]
     Bp = -(-B // 128) * 128
+    try:
+        sand3d_step.check_fits_vmem(bs, Bp)
+    except NotImplementedError as e:
+        if not auto:
+            raise
+        print(f"sand3d: {e}; using the jnp path")
+        LAST_PATH = "jnp"
+        return jnp_advance
     ops = sand3d_step.build_guard_ops(mesh, bs, Bp, np.float32)
     dxb = np.asarray(2.0 / (1 << mesh.level) / bs, np.float32)
     varr = np.asarray(v, np.float32)
