@@ -34,7 +34,7 @@ def _load_all():
     import importlib
     import importlib.util
     for name in ("boilerplate", "partdom", "sedov", "cloud", "binary",
-                 "amrsand", "sand3d", "kh", "test"):
+                 "amrsand", "sand3d", "blast3d", "kh", "test"):
         mod = f"mara3_tpu.subprograms.{name}"
         if importlib.util.find_spec(mod) is not None:
             importlib.import_module(mod)

@@ -29,6 +29,8 @@ Design (all invariants shared with the 2D production path):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,18 +99,29 @@ class BlockMesh3D:
 
 
 def _slab(u, ids, axis, side):
-    """[B, n, n]: thickness-1 boundary slab of each gathered block — the
-    face the neighbor presents to us (its high face for our side 0)."""
+    """[B, n, n, *C]: thickness-1 boundary slab of each gathered block —
+    the face the neighbor presents to us (its high face for our side 0).
+    Any trailing axes beyond the three spatial ones (e.g. a component
+    axis) ride along unchanged."""
     n = u.shape[1]
     un = jnp.take(u, ids, axis=0)
     j = n - 1 if side == 0 else 0
     return jax.lax.index_in_dim(un, j, axis=axis + 1, keepdims=False)
 
 
+def _restrict_face(sf, n):
+    """Exact 2x2 tangential mean of a [B, n, n, *C] face slab."""
+    tail = sf.shape[3:]
+    return sf.reshape(sf.shape[0], n // 2, 2, n // 2, 2,
+                      *tail).mean(axis=(2, 4))
+
+
 def _guard(u, mesh, axis, side):
-    """[B, n, n] guard slab outside face (axis, side) of every block,
-    with level jumps handled by PC-prolongation / mean-restriction."""
+    """[B, n, n, *C] guard slab outside face (axis, side) of every
+    block, with level jumps handled by PC-prolongation /
+    mean-restriction. Trailing component axes ride along."""
     n = u.shape[1]
+    tail = u.ndim - 4          # number of trailing component axes
     case = mesh.case[:, axis, side]
 
     g_same = _slab(u, jnp.asarray(mesh.same_id[:, axis, side]), axis, side)
@@ -119,24 +132,54 @@ def _guard(u, mesh, axis, side):
     i2 = jnp.arange(n) // 2
     idx1 = jnp.asarray(mesh.tq1[:, axis, side, None]) * (n // 2) + i2
     idx2 = jnp.asarray(mesh.tq2[:, axis, side, None]) * (n // 2) + i2
+    e1 = idx1.reshape(idx1.shape + (1,) * (1 + tail))
+    e2 = idx2.reshape((idx2.shape[0], 1, n) + (1,) * tail)
     g_coarse = jnp.take_along_axis(
-        jnp.take_along_axis(sc, idx1[:, :, None], axis=1),
-        idx2[:, None, :], axis=2)
+        jnp.take_along_axis(sc, e1, axis=1), e2, axis=2)
 
     # 4 finer neighbors: mean-restrict each face, assemble quarters
-    q = []
-    for k in range(4):
-        sf = _slab(u, jnp.asarray(mesh.fine_id[:, axis, side, k]),
-                   axis, side)
-        q.append(sf.reshape(-1, n // 2, 2, n // 2, 2).mean(axis=(2, 4)))
+    q = [_restrict_face(_slab(u, jnp.asarray(mesh.fine_id[:, axis, side,
+                                                          k]),
+                              axis, side), n) for k in range(4)]
     # q index k = b2*2 + b1: b1 -> dim1 (low tangential axis), b2 -> dim2
     g_fine = jnp.concatenate(
         [jnp.concatenate([q[0], q[1]], axis=1),
          jnp.concatenate([q[2], q[3]], axis=1)], axis=2)
 
-    c = jnp.asarray(case)[:, None, None]
+    c = jnp.asarray(case).reshape((-1,) + (1,) * (2 + tail))
     return jnp.where(c == SAME, g_same,
                      jnp.where(c == COARSE, g_coarse, g_fine))
+
+
+def correct_fluxes(F, axis, mesh):
+    """Overwrite each FINE-case boundary face of F with the 2x2 mean
+    of the fine neighbors' per-area fluxes at their matching face —
+    the per-area form of restrict_extrinsic over face totals, making
+    every coarse-fine interface exactly conservative. F has n+1 faces
+    along ``axis``; trailing component axes ride along."""
+    n = F.shape[axis + 1] - 1
+    tail = F.ndim - 4
+    for s in (0, 1):
+        j_own = 0 if s == 0 else n           # our boundary face
+        j_fine = n if s == 0 else 0          # their matching face
+        q = []
+        for k in range(4):
+            Ff = jnp.take(F, jnp.asarray(mesh.fine_id[:, axis, s, k]),
+                          axis=0)
+            Ff = jax.lax.index_in_dim(Ff, j_fine, axis=axis + 1,
+                                      keepdims=False)
+            q.append(_restrict_face(Ff, n))
+        rest = jnp.concatenate(
+            [jnp.concatenate([q[0], q[1]], axis=1),
+             jnp.concatenate([q[2], q[3]], axis=1)], axis=2)
+        own = jax.lax.index_in_dim(F, j_own, axis=axis + 1,
+                                   keepdims=False)
+        mask = jnp.asarray(mesh.case[:, axis, s] == FINE).reshape(
+            (-1,) + (1,) * (2 + tail))
+        new = jnp.where(mask, rest, own)
+        F = jax.lax.dynamic_update_index_in_dim(
+            F, jnp.expand_dims(new, axis + 1), j_own, axis + 1)
+    return F
 
 
 def make_advance(mesh, bs, v, domain_size=2.0):
@@ -158,31 +201,7 @@ def make_advance(mesh, bs, v, domain_size=2.0):
         right = jax.lax.slice_in_dim(ue, 1, n + 2, axis=axis + 1)
         return vel * jnp.where(vel > 0, left, right)
 
-    def correct(F, axis):
-        """Overwrite each FINE-case boundary face of F with the 2x2 mean
-        of the fine neighbors' per-area fluxes at their matching face."""
-        n = F.shape[axis + 1] - 1  # F has n+1 faces along `axis`
-        for s in (0, 1):
-            j_own = 0 if s == 0 else n           # our boundary face
-            j_fine = n if s == 0 else 0          # their matching face
-            q = []
-            for k in range(4):
-                Ff = jnp.take(F, jnp.asarray(mesh.fine_id[:, axis, s, k]),
-                              axis=0)
-                Ff = jax.lax.index_in_dim(Ff, j_fine, axis=axis + 1,
-                                          keepdims=False)
-                q.append(Ff.reshape(-1, n // 2, 2, n // 2, 2)
-                         .mean(axis=(2, 4)))
-            rest = jnp.concatenate(
-                [jnp.concatenate([q[0], q[1]], axis=1),
-                 jnp.concatenate([q[2], q[3]], axis=1)], axis=2)
-            own = jax.lax.index_in_dim(F, j_own, axis=axis + 1,
-                                       keepdims=False)
-            mask = jnp.asarray(mesh.case[:, axis, s] == FINE)[:, None, None]
-            new = jnp.where(mask, rest, own)
-            F = jax.lax.dynamic_update_index_in_dim(
-                F, jnp.expand_dims(new, axis + 1), j_own, axis + 1)
-        return F
+    correct = partial(correct_fluxes, mesh=mesh)
 
     @jax.jit
     def advance(u, dt, steps):
