@@ -104,9 +104,12 @@ def _slab(u, ids, axis, side):
     Any trailing axes beyond the three spatial ones (e.g. a component
     axis) ride along unchanged."""
     n = u.shape[1]
-    un = jnp.take(u, ids, axis=0)
     j = n - 1 if side == 0 else 0
-    return jax.lax.index_in_dim(un, j, axis=axis + 1, keepdims=False)
+    # slice the face BEFORE gathering: the gather then moves one face
+    # slab per block instead of whole 16^3 blocks (16x less traffic —
+    # this is the dominant cost of the jnp octree step on TPU)
+    uf = jax.lax.index_in_dim(u, j, axis=axis + 1, keepdims=False)
+    return jnp.take(uf, ids, axis=0)
 
 
 def _restrict_face(sf, n):
@@ -162,13 +165,12 @@ def correct_fluxes(F, axis, mesh):
     for s in (0, 1):
         j_own = 0 if s == 0 else n           # our boundary face
         j_fine = n if s == 0 else 0          # their matching face
-        q = []
-        for k in range(4):
-            Ff = jnp.take(F, jnp.asarray(mesh.fine_id[:, axis, s, k]),
-                          axis=0)
-            Ff = jax.lax.index_in_dim(Ff, j_fine, axis=axis + 1,
-                                      keepdims=False)
-            q.append(_restrict_face(Ff, n))
+        # slice the matching face once, then gather slabs (not blocks)
+        Fface = jax.lax.index_in_dim(F, j_fine, axis=axis + 1,
+                                     keepdims=False)
+        q = [_restrict_face(
+                jnp.take(Fface, jnp.asarray(mesh.fine_id[:, axis, s, k]),
+                         axis=0), n) for k in range(4)]
         rest = jnp.concatenate(
             [jnp.concatenate([q[0], q[1]], axis=1),
              jnp.concatenate([q[2], q[3]], axis=1)], axis=2)
