@@ -50,8 +50,14 @@ def run_config(depth: int, path: str) -> dict:
     # marginal rate between two step counts (tunnel-honest timing);
     # the fused path amortizes its launch over many in-kernel steps
     n1, n2 = (400, 1200) if kernel else (100, 300)
-    w1, _ = measure(advance, u, dt, n1)
-    w2, out = measure(advance, u, dt, n2)
+    # auto-widen until the marginal is resolved (>=0.2 s): a sub-noise
+    # w2-w1 measures tunnel jitter, not the kernel (bench_all lesson)
+    for _ in range(6):
+        w1, _ = measure(advance, u, dt, n1)
+        w2, out = measure(advance, u, dt, n2)
+        if w2 - w1 >= 0.2:
+            break
+        n1, n2 = n1 * 4, n2 * 4
     m1 = float(amr3d.total_mass(mesh, bs, out))
     zones = B * bs ** 3
     zps = (n2 - n1) * zones / max(w2 - w1, 1e-9)

@@ -244,3 +244,30 @@ def test_reference_plot_amrsand_renders_our_files(tmp_path):
     diag = sorted(p.name for p in tmp_path.glob("diagnostics.*.h5"))[-1]
     out = _ref_tool("plot_amrsand.py", [diag], cwd=tmp_path)
     assert out.returncode == 0, out.stderr
+
+
+def test_plot_sand3d_renders_sand3d_and_blast3d(tmp_path):
+    """tools/plot_sand3d.py renders both 3D workloads' diagnostics:
+    sand3d's `conserved` group (default) and blast3d's Euler fields
+    via --field (mid-plane slice across octree level jumps)."""
+    from mara3_tpu.app.subprogram import main as mara_main
+    tool = os.path.join(REPO, "tools", "plot_sand3d.py")
+
+    sand = tmp_path / "sand"
+    assert mara_main(["mara", "sand3d", "depth=2", "block_size=8",
+                      "tfinal=0.03", "dfi=0.03", f"outdir={sand}"]) == 0
+    diag = sorted(sand.glob("diagnostics.*.h5"))[-1]
+    out = subprocess.run([sys.executable, tool, str(diag)],
+                         capture_output=True, text=True, cwd=sand)
+    assert out.returncode == 0, out.stderr
+    assert diag.with_suffix(".png").exists()
+
+    blast = tmp_path / "blast"
+    assert mara_main(["mara", "blast3d", "depth=2", "block_size=8",
+                      "tfinal=0.02", "dfi=0.02", f"outdir={blast}"]) == 0
+    diag = sorted(blast.glob("diagnostics.*.h5"))[-1]
+    out = subprocess.run(
+        [sys.executable, tool, "--field", "gas_pressure", str(diag)],
+        capture_output=True, text=True, cwd=blast)
+    assert out.returncode == 0, out.stderr
+    assert diag.with_suffix(".png").exists()
